@@ -1,0 +1,191 @@
+"""Quadrilateral geometry primitives — pure jnp, static-shape, TPU-friendly.
+
+These are the numerics at the heart of DAFNe-style oriented detection.
+Behavioral contracts mirror the reference implementation (cited per function)
+but every function here is natively batched/vectorized so it can live inside
+a single jitted SPMD step: no data-dependent shapes, no Python loops over
+boxes or images.
+
+Reference behavior contracts:
+- corner canonicalization:  dafne/utils/sort_corners.py:26-92
+- point-to-line distances:  dafne/modeling/dafne/dafne_outputs.py:53-76
+- point-in-quadrilateral:   dafne/modeling/dafne/dafne_outputs.py:96-119
+- centerness targets:       dafne/modeling/dafne/dafne_outputs.py:79-93
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _cross2d(a, b):
+    """2D cross product over the last axis (shape [..., 2])."""
+    return a[..., 0] * b[..., 1] - a[..., 1] * b[..., 0]
+
+
+def quad_signed_area(corners):
+    """Signed shoelace area of quads given as [..., 8] = (x0,y0,...,x3,y3).
+
+    Positive for counter-clockwise vertex order (in a y-up frame).
+    """
+    c = corners.reshape(corners.shape[:-1] + (4, 2))
+    nxt = jnp.roll(c, shift=-1, axis=-2)
+    return 0.5 * jnp.sum(
+        c[..., 0] * nxt[..., 1] - nxt[..., 0] * c[..., 1], axis=-1
+    )
+
+
+def quad_area(corners):
+    """Absolute shoelace area of quads [..., 8]."""
+    return jnp.abs(quad_signed_area(corners))
+
+
+def enclosing_hbox(corners):
+    """Axis-aligned enclosing box (xmin, ymin, xmax, ymax) of quads [..., 8].
+
+    Mirrors the hbox derivation in dafne_outputs.py:884-892.
+    """
+    xs = corners[..., 0::2]
+    ys = corners[..., 1::2]
+    return jnp.stack(
+        [xs.min(-1), ys.min(-1), xs.max(-1), ys.max(-1)], axis=-1
+    )
+
+
+def sort_quadrilateral(corners):
+    """Canonical corner ordering ("Algorithm 1", Modulated Loss paper).
+
+    Matches the vectorized reference (sort_corners.py:26-92) semantics:
+      - p1 = vertex with minimal x (first index on ties, like torch.min)
+      - p3 = first remaining vertex (in original order) whose line through p1
+        separates the other two (i.e. the diagonal partner)
+      - p2/p4 oriented by the sign of cross(p3-p1, s-p1): the candidate with
+        positive cross becomes p2.  (The reference's loop degenerates to:
+        p2 = sA if c(sA)>0 else (sB if c(sB)>0 else sA); we reproduce that,
+        including the both-nonpositive degenerate fallback.)
+
+    Degenerate quads where no diagonal is found fall back to the first
+    remaining candidate as p3 (the reference leaves zeros there; such quads
+    are filtered out upstream by the dataset degeneracy checks, so this
+    differs only on inputs the reference never produces).
+
+    Args:
+      corners: [..., 8] float array.
+    Returns:
+      [..., 8] canonically ordered corners.
+    """
+    shape = corners.shape
+    c = corners.reshape(-1, 4, 2)
+    n = c.shape[0]
+
+    ar4 = jnp.arange(4)
+
+    left_idx = jnp.argmin(c[:, :, 0], axis=1)  # first min index on ties
+    p1 = jnp.take_along_axis(c, left_idx[:, None, None], axis=1)[:, 0]  # [N,2]
+
+    # Remaining 3 vertices in original relative order.
+    keep = ar4[None, :] != left_idx[:, None]  # [N,4]
+    rem_idx = jnp.sort(jnp.where(keep, ar4[None, :], 99), axis=1)[:, :3]
+    rem = jnp.take_along_axis(c, rem_idx[:, :, None], axis=1)  # [N,3,2]
+
+    # Diagonal detection: candidate i is the diagonal partner if the other
+    # two lie on opposite sides of line (p1, rem_i).
+    v = rem - p1[:, None, :]  # [N,3,2]
+
+    def _cond(i, a, b):
+        return _cross2d(v[:, i], v[:, a]) * _cross2d(v[:, i], v[:, b]) < 0.0
+
+    conds = jnp.stack([_cond(0, 1, 2), _cond(1, 0, 2), _cond(2, 0, 1)], axis=1)
+    first = jnp.argmax(conds, axis=1)  # first True; 0 if none (fallback)
+
+    p3 = jnp.take_along_axis(rem, first[:, None, None], axis=1)[:, 0]
+    # The two leftover candidates, preserving original order:
+    # first==0 -> (1,2); first==1 -> (0,2); first==2 -> (0,1)
+    a_idx = jnp.where(first == 0, 1, 0)
+    b_idx = jnp.where(first == 2, 1, 2)
+    sa = jnp.take_along_axis(rem, a_idx[:, None, None], axis=1)[:, 0]
+    sb = jnp.take_along_axis(rem, b_idx[:, None, None], axis=1)[:, 0]
+
+    diag = p3 - p1
+    ca = _cross2d(diag, sa - p1)
+    cb = _cross2d(diag, sb - p1)
+    take_a = (ca > 0.0) | ((ca <= 0.0) & (cb <= 0.0))
+    p2 = jnp.where(take_a[:, None], sa, sb)
+    p4 = jnp.where(take_a[:, None], sb, sa)
+
+    out = jnp.stack([p1, p2, p3, p4], axis=1).reshape(n, 8)
+    return out.reshape(shape)
+
+
+def point_to_line_distance(p1, p2, x0, y0):
+    """Distance from point (x0, y0) to the infinite line through p1, p2.
+
+    p1, p2: [..., 2]; x0, y0: broadcastable to p1[..., 0].
+    Mirrors dafne_outputs.py:53-64 (no epsilon guard: NaN for degenerate
+    edges, handled downstream by `centerness_targets` nan flushing).
+    """
+    x1, y1 = p1[..., 0], p1[..., 1]
+    x2, y2 = p2[..., 0], p2[..., 1]
+    nom = jnp.abs((y2 - y1) * x0 - (x2 - x1) * y0 + x2 * y1 - y2 * x1)
+    denom = jnp.sqrt((y2 - y1) ** 2 + (x2 - x1) ** 2)
+    return nom / denom
+
+
+def compute_abcd(corners, locations):
+    """Oriented edge distances (a, b, c, d) from locations to quad edges.
+
+    Args:
+      corners: [..., 8] quads (canonically sorted).
+      locations: [..., 2] points, broadcast-compatible with corners' batch.
+    Returns:
+      [..., 4] distance to each of the 4 edges (c0c1, c1c2, c2c3, c3c0).
+
+    Mirrors compute_abcd (dafne_outputs.py:67-76), but broadcast-batched
+    instead of materializing a K x N repeat.
+    """
+    c = corners.reshape(corners.shape[:-1] + (4, 2))
+    nxt = jnp.roll(c, shift=-1, axis=-2)
+    x0 = locations[..., None, 0]
+    y0 = locations[..., None, 1]
+    return point_to_line_distance(c, nxt, x0, y0)
+
+
+def _triangle_area(a, b, c):
+    """Area of triangles; a, b, c: [..., 2]. Mirrors dafne_outputs.py:101-106."""
+    return 0.5 * jnp.abs(_cross2d(a - c, b - c))
+
+
+def is_in_quadrilateral(corners, quad_area_val, locations, eps=1e-3):
+    """Test whether locations lie inside (sorted) quads via triangle areas.
+
+    The four triangles (edge, point) tile the quad exactly iff the point is
+    inside; the reference allows an epsilon of 1e-3 (dafne_outputs.py:109-119).
+
+    Args:
+      corners: [..., 8]; quad_area_val: [...]; locations: [..., 2].
+    Returns:
+      [...] boolean.
+    """
+    c = corners.reshape(corners.shape[:-1] + (4, 2))
+    nxt = jnp.roll(c, shift=-1, axis=-2)
+    loc = locations[..., None, :]
+    tri = _triangle_area(c, nxt, loc)  # [..., 4]
+    return ~(tri.sum(-1) > (quad_area_val + eps))
+
+
+def centerness_targets(reg_targets, alpha):
+    """Oriented/plain centerness: ((min/max)(0,2) * (min/max)(1,3)) ** (1/alpha).
+
+    Operates on 4-vectors that are either ltrb or abcd distances.
+    NaNs (degenerate geometry) flush to 0 like dafne_outputs.py:79-93.
+
+    Args:
+      reg_targets: [..., 4]; alpha: scalar smoothing exponent.
+    Returns:
+      [...] centerness in [0, 1].
+    """
+    lr = reg_targets[..., 0::2]
+    tb = reg_targets[..., 1::2]
+    ctr = (lr.min(-1) / lr.max(-1)) * (tb.min(-1) / tb.max(-1))
+    ctr = ctr ** (1.0 / alpha)
+    return jnp.nan_to_num(ctr, nan=0.0, posinf=0.0, neginf=0.0)

@@ -1,0 +1,17 @@
+"""Test configuration: run JAX on 8 virtual CPU devices.
+
+This is the TPU-world replacement for "test multi-node without a cluster"
+(SURVEY.md §4): all sharding/collective logic is exercised on a virtual
+8-device CPU mesh; the driver separately dry-run-compiles the multi-chip
+path via __graft_entry__.dryrun_multichip.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_TRACEBACK_FILTERING", "off")
