@@ -1,0 +1,78 @@
+"""End-to-end inference throughput benchmark (the driver's round metric).
+
+Measures images/sec/chip for the flagship DOTA pipeline at 1024²: raw pixels
+-> normalize -> ResNet-50 + FPN -> DAFNe head -> static decode -> exact
+rotated NMS -> top-1000 detections, all on-device in ONE jitted program.
+
+Baseline note: the reference publishes NO throughput numbers
+(BASELINE.md: "Inference throughput: not published"); its benchmark harness
+exists (tools/benchmark.py --task eval) but no results are committed.
+`vs_baseline` therefore uses a documented estimate of the reference's
+single-V100 R-50 eval throughput at 1024² (~14 img/s, typical for
+FCOS-family R-50 detectors at this resolution with per-image Python decode
++ CUDA NMS).  The north-star is >=5x (BASELINE.json).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REFERENCE_IMG_S_ESTIMATE = 14.0  # see module docstring
+BATCH = 8
+HW = 1024
+ITERS = 20
+WARMUP = 3
+
+
+def main():
+    from dafne_tpu.config import get_cfg
+    from dafne_tpu.engine.trainer import make_eval_step
+    from dafne_tpu.models import build_model
+
+    cfg = get_cfg()
+    cfg.MODEL.RESNETS.DEPTH = 50
+    cfg.MODEL.DAFNE.NUM_CLASSES = 15
+    cfg.TPU.COMPUTE_DTYPE = "bfloat16"
+
+    model = build_model(cfg)
+    rng = np.random.RandomState(0)
+    # distinct buffers per iteration so no runtime-level caching can shortcut
+    images = [
+        jnp.asarray(rng.rand(BATCH, HW, HW, 3).astype(np.float32) * 255)
+        for _ in range(4)
+    ]
+
+    params = jax.jit(
+        lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((1, HW, HW, 3)))["params"]
+    )()
+    eval_step = jax.jit(make_eval_step(model, cfg, (HW, HW)))
+
+    out = None
+    for _ in range(WARMUP):
+        out = eval_step(params, images[0])
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        out = eval_step(params, images[i % len(images)])
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    img_s = BATCH * ITERS / dt
+    print(
+        json.dumps(
+            {
+                "metric": "images/sec/chip, DOTA R-50 1024^2 e2e incl. rotated NMS",
+                "value": round(img_s, 2),
+                "unit": "img/s",
+                "vs_baseline": round(img_s / REFERENCE_IMG_S_ESTIMATE, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,147 @@
+"""Jitted SPMD train/eval steps.
+
+The TPU-native replacement for the reference's training loop internals
+(tools/plain_train_net.py:443-492): one jitted function per step, batch
+sharded over the mesh "data" axis, params replicated, gradients and loss
+normalizers globally reduced by XLA-inserted collectives (no DDP wrapper,
+no explicit all_reduce — SURVEY.md §5.8).
+
+The step composes pure pieces:
+  model.apply -> flatten levels -> assign_targets (ops/targets.py)
+  -> dafne_losses (ops/losses.py) -> grad -> optax update.
+
+NaN detection (the reference's `detect_anomaly`, plain_train_net.py:131-136)
+is a `loss_is_finite` flag in the returned metrics — checked on host without
+forcing extra device syncs.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from dafne_tpu.models.head import compute_locations
+from dafne_tpu.ops.losses import LossSpec, dafne_losses
+from dafne_tpu.ops.postprocess import DecodeSpec, decode_detections
+from dafne_tpu.ops.targets import (
+    AssignmentSpec,
+    assign_targets,
+    flatten_levels,
+    level_metadata,
+)
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads):
+        updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
+        return self.replace(
+            step=self.step + 1,
+            params=optax.apply_updates(self.params, updates),
+            opt_state=new_opt,
+        )
+
+
+def level_sizes_for(image_hw: Tuple[int, int], strides) -> list:
+    h, w = image_hw
+    return [((h + s - 1) // s, (w + s - 1) // s) for s in strides]
+
+
+def make_location_tables(image_hw, spec: AssignmentSpec):
+    """Static per-level location grids + concatenated metadata."""
+    sizes = level_sizes_for(image_hw, spec.strides)
+    locs = [
+        compute_locations(h, w, s) for (h, w), s in zip(sizes, spec.strides)
+    ]
+    loc_strides, size_ranges = level_metadata(sizes, spec)
+    return locs, jnp.concatenate(locs, axis=0), loc_strides, size_ranges
+
+
+def compute_losses(model, params, batch, assign_spec, loss_spec, location_tables):
+    """Pure loss computation used by both train and eval-loss paths."""
+    locs_list, locations, loc_strides, size_ranges = location_tables
+    out = model.apply({"params": params}, batch["image"])
+    num_classes = loss_spec.num_classes
+
+    logits = flatten_levels(out["logits"], num_classes)
+    corners = flatten_levels(out["corners"], 8)
+    center = (
+        flatten_levels(out["center"], 2)
+        if out["center"][0] is not None
+        else None
+    )
+    ctrness = flatten_levels(out["ctrness"], 1)[..., 0]
+
+    targets = assign_targets(
+        locations,
+        loc_strides,
+        size_ranges,
+        batch["gt_corners"],
+        batch["gt_hbox"],
+        batch["gt_classes"],
+        batch["gt_area"],
+        batch["gt_valid"],
+        assign_spec,
+    )
+    return dafne_losses(logits, corners, center, ctrness, targets, loss_spec), out
+
+
+def make_train_step(model, cfg, image_hw: Tuple[int, int], tx, schedule=None):
+    """Build the jittable train step for a static padded image size."""
+    assign_spec = AssignmentSpec.from_config(cfg)
+    loss_spec = LossSpec.from_config(cfg)
+    tables = make_location_tables(image_hw, assign_spec)
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        def loss_fn(params):
+            losses, _ = compute_losses(
+                model, params, batch, assign_spec, loss_spec, tables
+            )
+            return losses["loss/total"], losses
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        metrics = dict(metrics)
+        metrics["loss_is_finite"] = jnp.isfinite(loss)
+        if schedule is not None:
+            metrics["lr"] = schedule(state.step)
+        new_state = state.apply_gradients(grads)
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model, cfg, image_hw: Tuple[int, int]):
+    """Build the jittable inference step: images -> fixed-size detections."""
+    assign_spec = AssignmentSpec.from_config(cfg)
+    decode_spec = DecodeSpec.from_config(cfg, train=False)
+    locs_list, *_ = make_location_tables(image_hw, assign_spec)
+
+    def eval_step(params, images, scale_xy: Optional[jnp.ndarray] = None):
+        out = model.apply({"params": params}, images)
+        return decode_detections(out, locs_list, decode_spec, scale_xy)
+
+    return eval_step
+
+
+def init_state(model, cfg, image_hw, tx, rng=None) -> TrainState:
+    rng = rng if rng is not None else jax.random.PRNGKey(max(cfg.SEED, 0))
+    h, w = image_hw
+    dummy = jnp.zeros((1, h, w, 3), jnp.float32)
+    params = model.init(rng, dummy)["params"]
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        tx=tx,
+    )

@@ -10,6 +10,7 @@ from dafne_tpu.geometry.quads import (
 )
 from dafne_tpu.geometry.iou import (
     quad_intersection_area,
+    quad_intersection_area_clip,
     quad_iou,
     quad_iou_matrix,
 )
@@ -24,6 +25,7 @@ __all__ = [
     "is_in_quadrilateral",
     "centerness_targets",
     "quad_intersection_area",
+    "quad_intersection_area_clip",
     "quad_iou",
     "quad_iou_matrix",
 ]

@@ -1,0 +1,86 @@
+"""Rotated (quadrilateral) NMS — on-device, static shapes.
+
+Replaces the reference's external CUDA kernel path
+(dafne/modeling/nms/nms.py:10-92 -> DOTA_devkit `poly_gpu_nms`):
+
+- exact quad-IoU matrix from dafne_tpu.geometry.iou (the same math the CUDA
+  kernel implements with per-thread polygon clipping)
+- class-aware suppression WITHOUT the coordinate-offset hack: the reference
+  shifts boxes by class_id*(max-min+1) (nms.py:74-83) purely so a
+  class-agnostic kernel never sees cross-class overlap; we mask the IoU
+  matrix by class equality instead — mathematically identical, numerically
+  better (no giant offset coordinates in float32)
+- the DOTA small-vehicle/large-vehicle merge (nms.py:77-79) becomes an
+  explicit `class_merge` remap applied to the *NMS view* of the labels only
+- greedy score-descending suppression as a `lax.fori_loop` over the sorted
+  boxes (the XLA formulation; a fused Pallas kernel is the next optimization
+  step and slots in behind the same function signature)
+
+Everything is fixed-size: callers pass padded candidate sets with a validity
+mask; suppressed or invalid slots come back with keep=False.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dafne_tpu.geometry.iou import quad_iou_matrix
+
+
+def apply_class_merge(classes: jnp.ndarray, class_merge: Sequence[Tuple[int, int]]):
+    """Remap class ids for NMS grouping (e.g. DOTA large-vehicle(5)->small(4))."""
+    merged = classes
+    for src, dst in class_merge:
+        merged = jnp.where(merged == src, dst, merged)
+    return merged
+
+
+def rotated_nms(
+    corners: jnp.ndarray,  # [N, 8]
+    scores: jnp.ndarray,  # [N]
+    classes: jnp.ndarray,  # [N] int32
+    valid: jnp.ndarray,  # [N] bool
+    iou_threshold: float,
+    class_merge: Sequence[Tuple[int, int]] = ((5, 4),),
+) -> jnp.ndarray:
+    """Greedy class-aware rotated NMS.
+
+    Boxes are processed in score-descending order; a box is suppressed when
+    its exact quad IoU with an earlier kept box of the same (merged) class
+    exceeds `iou_threshold`.  Returns keep [N] bool aligned with the input
+    order.
+    """
+    n = corners.shape[0]
+    neg = jnp.asarray(-jnp.inf, scores.dtype)
+    order = jnp.argsort(jnp.where(valid, scores, neg))[::-1]  # desc, invalid last
+
+    s_corners = corners[order]
+    s_valid = valid[order]
+    s_classes = apply_class_merge(classes[order], class_merge)
+
+    iou = quad_iou_matrix(s_corners, s_corners)  # [N, N]
+    same_class = s_classes[:, None] == s_classes[None, :]
+    suppress_mat = (iou > iou_threshold) & same_class
+    # only earlier (higher-score) kept boxes can suppress later ones
+    later = jnp.arange(n)[None, :] > jnp.arange(n)[:, None]
+    suppress_mat = suppress_mat & later
+
+    def body(i, keep):
+        row = suppress_mat[i] & keep[i]
+        return keep & ~row
+
+    keep_sorted = jax.lax.fori_loop(0, n, body, s_valid)
+    # scatter back to input order
+    keep = jnp.zeros((n,), bool).at[order].set(keep_sorted)
+    return keep
+
+
+def rotated_nms_batched(corners, scores, classes, valid, iou_threshold,
+                        class_merge: Sequence[Tuple[int, int]] = ((5, 4),)):
+    """vmap over a batch: corners [B,N,8], scores [B,N], ... -> keep [B,N]."""
+    return jax.vmap(
+        lambda c, s, cl, v: rotated_nms(c, s, cl, v, iou_threshold, class_merge)
+    )(corners, scores, classes, valid)

@@ -1,0 +1,184 @@
+"""Static-shape decoding of dense head outputs into detections.
+
+Re-designs the reference decode (dafne/modeling/dafne/dafne_outputs.py:
+733-925), which leans on dynamic shapes (`nonzero`, boolean gathers,
+data-dependent topk sizes, :824-858), as fixed-size top-k + validity masks —
+the TPU formulation (SURVEY.md §7 "hard parts" #2):
+
+  per level:   sigmoid(cls) [, sqrt(cls*ctr)] -> threshold mask
+               -> top-k over the flattened (location x class) axis
+               -> gather corners = location + stride * offsets (:860-872)
+               -> canonical corner sort (:874-876)
+  all levels:  concat -> global score cap to NMS_MAX_CANDIDATES
+               -> exact rotated NMS -> top `post_nms_topk` by score (:907-925)
+
+Every output is a fixed-size array with a validity mask; "fewer detections"
+means more masked slots, never a different shape.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dafne_tpu.geometry.quads import enclosing_hbox, sort_quadrilateral
+from dafne_tpu.ops.nms import rotated_nms_batched
+
+
+@dataclasses.dataclass(frozen=True)
+class DecodeSpec:
+    strides: Tuple[int, ...] = (8, 16, 32, 64, 128)
+    num_classes: int = 15
+    pre_nms_thresh: float = 0.05
+    pre_nms_topk: int = 2000
+    post_nms_topk: int = 1000
+    nms_threshold: float = 0.1
+    thresh_with_ctr: bool = False
+    has_centerness: bool = True
+    ctr_in_score: bool = True
+    sort_corners: bool = True
+    stride_norm: bool = True
+    nms_max_candidates: int = 2048
+    class_merge: Tuple[Tuple[int, int], ...] = ((5, 4),)
+
+    @classmethod
+    def from_config(cls, cfg, train: bool = False) -> "DecodeSpec":
+        d = cfg.MODEL.DAFNE
+        return cls(
+            strides=tuple(d.FPN_STRIDES),
+            num_classes=d.NUM_CLASSES,
+            pre_nms_thresh=d.INFERENCE_TH_TRAIN if train else d.INFERENCE_TH_TEST,
+            pre_nms_topk=d.PRE_NMS_TOPK_TRAIN if train else d.PRE_NMS_TOPK_TEST,
+            post_nms_topk=d.POST_NMS_TOPK_TRAIN if train else d.POST_NMS_TOPK_TEST,
+            nms_threshold=d.NMS_TH,
+            thresh_with_ctr=d.THRESH_WITH_CTR,
+            has_centerness=d.CENTERNESS != "none",
+            ctr_in_score=d.CENTERNESS_USE_IN_SCORE,
+            sort_corners=d.SORT_CORNERS,
+            stride_norm=d.ENABLE_FPN_STRIDE_NORM,
+            nms_max_candidates=cfg.TPU.NMS_MAX_CANDIDATES,
+        )
+
+
+def decode_single_level(
+    logits: jnp.ndarray,  # [N, H, W, C]
+    corners: jnp.ndarray,  # [N, H, W, 8]
+    ctrness: jnp.ndarray,  # [N, H, W, 1]
+    locations: jnp.ndarray,  # [H*W, 2]
+    stride: int,
+    spec: DecodeSpec,
+) -> Dict[str, jnp.ndarray]:
+    """Fixed-size top-k decode of one FPN level -> [N, k] candidate dict."""
+    n = logits.shape[0]
+    c = logits.shape[-1]
+    hw = logits.shape[1] * logits.shape[2]
+    k = min(spec.pre_nms_topk, hw * c)
+
+    cls_prob = jax.nn.sigmoid(logits.reshape(n, hw, c))
+    ctr_prob = ctrness.reshape(n, hw)
+    if spec.has_centerness:
+        ctr_prob = jax.nn.sigmoid(ctr_prob)
+
+    if spec.has_centerness and spec.thresh_with_ctr and spec.ctr_in_score:
+        cls_prob = jnp.sqrt(cls_prob * ctr_prob[:, :, None])
+    candidate = cls_prob > spec.pre_nms_thresh
+    if spec.has_centerness and not spec.thresh_with_ctr and spec.ctr_in_score:
+        cls_prob = jnp.sqrt(cls_prob * ctr_prob[:, :, None])
+
+    flat_scores = jnp.where(candidate, cls_prob, 0.0).reshape(n, hw * c)
+    top_scores, top_idx = jax.lax.top_k(flat_scores, k)  # [N, k]
+    loc_idx = top_idx // c
+    cls_idx = (top_idx % c).astype(jnp.int32)
+    valid = top_scores > 0.0
+
+    reg = corners.reshape(n, hw, 8)
+    sel_reg = jnp.take_along_axis(reg, loc_idx[:, :, None], axis=1)  # [N, k, 8]
+    if spec.stride_norm:
+        sel_reg = sel_reg * stride
+    sel_loc = locations[loc_idx]  # [N, k, 2]
+    polys = sel_reg + jnp.tile(sel_loc, (1, 1, 4))
+    if spec.sort_corners:
+        polys = sort_quadrilateral(polys)
+
+    sel_ctr = jnp.take_along_axis(ctr_prob, loc_idx, axis=1)
+    return {
+        "corners": polys,
+        "scores": top_scores,
+        "classes": cls_idx,
+        "centerness": sel_ctr,
+        "locations": sel_loc,
+        "valid": valid,
+    }
+
+
+def decode_detections(
+    head_out: Dict[str, List[jnp.ndarray]],
+    locations: List[jnp.ndarray],
+    spec: DecodeSpec,
+    scale_xy: Optional[jnp.ndarray] = None,  # [N, 2] resized->original scale
+) -> Dict[str, jnp.ndarray]:
+    """Full decode: per-level top-k -> concat -> NMS -> post-NMS top-k.
+
+    Returns fixed [N, post_nms_topk] arrays: corners [.., 8] (in original
+    image coordinates if scale_xy given), hboxes [.., 4], scores, classes,
+    centerness, valid.
+    """
+    per_level = [
+        decode_single_level(
+            head_out["logits"][i],
+            head_out["corners"][i],
+            head_out["ctrness"][i],
+            locations[i],
+            spec.strides[i],
+            spec,
+        )
+        for i in range(len(locations))
+    ]
+    cand = {
+        key: jnp.concatenate([p[key] for p in per_level], axis=1)
+        for key in per_level[0]
+    }
+
+    # Cap the NMS input with a global score top-k (static size).
+    total = cand["scores"].shape[1]
+    m = min(spec.nms_max_candidates, total)
+    top_scores, top_idx = jax.lax.top_k(
+        jnp.where(cand["valid"], cand["scores"], 0.0), m
+    )
+    take = lambda a: jnp.take_along_axis(
+        a, top_idx.reshape(top_idx.shape + (1,) * (a.ndim - 2)), axis=1
+    )
+    corners = take(cand["corners"])
+    classes = jnp.take_along_axis(cand["classes"], top_idx, axis=1)
+    ctr = jnp.take_along_axis(cand["centerness"], top_idx, axis=1)
+    locs = take(cand["locations"])
+    scores = top_scores
+    valid = scores > 0.0
+
+    keep = rotated_nms_batched(
+        corners, scores, classes, valid, spec.nms_threshold, spec.class_merge
+    )
+
+    # Post-NMS top-k over all classes (dafne_outputs.py:916-923)
+    k_out = min(spec.post_nms_topk, m)
+    out_scores, out_idx = jax.lax.top_k(jnp.where(keep, scores, 0.0), k_out)
+    take_out = lambda a: jnp.take_along_axis(
+        a, out_idx.reshape(out_idx.shape + (1,) * (a.ndim - 2)), axis=1
+    )
+    out = {
+        "corners": take_out(corners),
+        "scores": out_scores,
+        "classes": jnp.take_along_axis(classes, out_idx, axis=1),
+        "centerness": jnp.take_along_axis(ctr, out_idx, axis=1),
+        "locations": take_out(locs),
+        "valid": out_scores > 0.0,
+    }
+    if scale_xy is not None:
+        s = jnp.tile(scale_xy[:, None, :], (1, 1, 4))  # [N,1,8]
+        out["corners"] = out["corners"] * s
+        out["locations"] = out["locations"] * scale_xy[:, None, :]
+    out["hboxes"] = enclosing_hbox(out["corners"])
+    return out

@@ -1,0 +1,62 @@
+"""Device mesh and sharding utilities — the SPMD replacement for the
+reference's NCCL/DDP stack (SURVEY.md §5.8).
+
+The reference launches one process per GPU, wraps the model in
+DistributedDataParallel and sprinkles explicit `dist.all_reduce` calls for
+loss normalizers (tools/plain_train_net.py:591-597,
+dafne_outputs.py:44-50).  Here there is exactly ONE program: a jitted train
+step whose batch input is sharded over the "data" axis of a
+`jax.sharding.Mesh` and whose parameters are replicated.  Gradient
+all-reduce and the loss-normalizer sums are collectives XLA inserts
+automatically; they ride ICI on a real slice.
+
+The mesh is N-D-ready (cfg.TPU.MESH_SHAPE / MESH_AXIS_NAMES) so spatial
+sharding of large feature maps (the §5.7 "context parallel" analog) can be
+added as an extra axis without touching the step function.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(
+    mesh_shape: Optional[Sequence[int]] = None,
+    axis_names: Sequence[str] = ("data",),
+    devices=None,
+) -> Mesh:
+    """Build a Mesh; -1 entries absorb the remaining device count."""
+    devices = list(devices if devices is not None else jax.devices())
+    shape = list(mesh_shape if mesh_shape is not None else [-1])
+    n = len(devices)
+    known = int(np.prod([s for s in shape if s > 0])) or 1
+    shape = [n // known if s == -1 else s for s in shape]
+    assert int(np.prod(shape)) == n, (shape, n)
+    dev_array = np.asarray(devices).reshape(shape)
+    return Mesh(dev_array, tuple(axis_names))
+
+
+def mesh_from_config(cfg, devices=None) -> Mesh:
+    return create_mesh(cfg.TPU.MESH_SHAPE, cfg.TPU.MESH_AXIS_NAMES, devices)
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Leading-axis (batch) sharding."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Dict[str, Any], mesh: Mesh, axis: str = "data"):
+    """Device_put a host batch with the leading dim sharded over `axis`."""
+    sh = batch_sharding(mesh, axis)
+    return jax.tree.map(
+        lambda x: jax.device_put(x, sh) if hasattr(x, "ndim") and x.ndim >= 1 else x,
+        batch,
+    )

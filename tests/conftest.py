@@ -4,14 +4,22 @@ This is the TPU-world replacement for "test multi-node without a cluster"
 (SURVEY.md §4): all sharding/collective logic is exercised on a virtual
 8-device CPU mesh; the driver separately dry-run-compiles the multi-chip
 path via __graft_entry__.dryrun_multichip.
+
+NOTE: this environment force-registers the `axon` TPU platform from
+sitecustomize, overriding the JAX_PLATFORMS env var — `jax.config.update`
+is the only reliable way to pin tests to CPU (and it must run before the
+backend initializes).
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_TRACEBACK_FILTERING", "off")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")

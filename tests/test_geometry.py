@@ -239,16 +239,34 @@ def test_iou_orientation_invariance():
 
 
 def test_iou_cross_validation_random():
-    """jnp candidate-point method vs float64 clipping on random rotated boxes."""
+    """Both jnp methods (edge-clip integral + candidate points) vs the
+    independent float64 Sutherland-Hodgman reference on random boxes."""
     rng = np.random.RandomState(7)
     p = random_convex_quads(300, rng)
     q = p + rng.uniform(-30, 30, size=(300, 1)).repeat(8, 1)  # shifted copies
     q2 = random_convex_quads(300, rng)
 
     for a, b in [(p, q), (p, q2)]:
-        got = np.asarray(quad_iou_matrix(jnp.asarray(a[:50]), jnp.asarray(b[:50])))
         want = polyiou_np.iou_matrix(a[:50], b[:50])
-        np.testing.assert_allclose(got, want, atol=2e-3)
+        for method in ("clip", "points"):
+            got = np.asarray(
+                quad_iou_matrix(jnp.asarray(a[:50]), jnp.asarray(b[:50]), method=method)
+            )
+            np.testing.assert_allclose(got, want, atol=2e-3, err_msg=method)
+
+
+def test_iou_boundary_degeneracies():
+    """Identical boxes -> 1; touching edge/corner -> 0 (both methods)."""
+    sq = jnp.asarray(UNIT_SQ, jnp.float32)
+    side = jnp.asarray(UNIT_SQ + np.array([1.0, 0] * 4), jnp.float32)  # shares edge x=1
+    corner = jnp.asarray(UNIT_SQ + np.array([1.0, 1.0] * 4), jnp.float32)
+    assert float(quad_iou(sq, sq)) == pytest.approx(1.0, abs=1e-5)
+    assert float(quad_iou(sq, side)) == pytest.approx(0.0, abs=1e-5)
+    assert float(quad_iou(side, sq)) == pytest.approx(0.0, abs=1e-5)
+    assert float(quad_iou(sq, corner)) == pytest.approx(0.0, abs=1e-5)
+    # same with a clockwise-wound second box
+    side_cw = side.reshape(4, 2)[::-1].reshape(8)
+    assert float(quad_iou(sq, side_cw)) == pytest.approx(0.0, abs=1e-5)
 
 
 def test_iou_matrix_symmetry():
