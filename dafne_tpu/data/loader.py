@@ -1,0 +1,167 @@
+"""Samplers and the prefetching host data loader.
+
+Replaces the reference's torch DataLoader + Detectron2 samplers
+(build_detection_train_loader in tools/plain_train_net.py:219-277):
+
+- TrainingSampler: infinite stream of shuffled epoch permutations
+- RepeatFactorTrainingSampler: class-rebalanced repetition
+  (DATALOADER.REPEAT_THRESHOLD; factor = max_c sqrt(t / f_c), stochastic
+  rounding per epoch — Detectron2 semantics)
+- Loader: thread-pool mapping (cv2 releases the GIL for decode/warp) with a
+  bounded prefetch queue; yields dicts of stacked numpy arrays, ready for
+  `jax.device_put` with a batch sharding.
+"""
+
+from __future__ import annotations
+
+import itertools
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from dafne_tpu.data.mapper import DatasetMapper, pad_target_hw
+
+
+def training_sampler(n: int, seed: int = 0) -> Iterator[int]:
+    rng = np.random.RandomState(seed)
+    while True:
+        for i in rng.permutation(n):
+            yield int(i)
+
+
+def repeat_factors(records: List[dict], threshold: float) -> np.ndarray:
+    """Per-image repeat factor: max over its categories of sqrt(t / freq)."""
+    n = len(records)
+    freq: Dict[int, float] = {}
+    for r in records:
+        for cat in {a["category_id"] for a in r.get("annotations", [])}:
+            freq[cat] = freq.get(cat, 0) + 1
+    for k in freq:
+        freq[k] /= n
+    factors = np.ones(n)
+    for i, r in enumerate(records):
+        cats = {a["category_id"] for a in r.get("annotations", [])}
+        if cats:
+            factors[i] = max(
+                max(1.0, np.sqrt(threshold / freq[c])) for c in cats
+            )
+    return factors
+
+
+def repeat_factor_sampler(
+    records: List[dict], threshold: float, seed: int = 0
+) -> Iterator[int]:
+    factors = repeat_factors(records, threshold)
+    floors = np.floor(factors).astype(np.int64)
+    frac = factors - floors
+    rng = np.random.RandomState(seed)
+    while True:
+        counts = floors + (rng.rand(len(records)) < frac)
+        epoch = np.repeat(np.arange(len(records)), counts)
+        rng.shuffle(epoch)
+        for i in epoch:
+            yield int(i)
+
+
+def build_sampler(cfg, records: List[dict], seed: int = 0) -> Iterator[int]:
+    if cfg.DATALOADER.SAMPLER_TRAIN == "RepeatFactorTrainingSampler":
+        return repeat_factor_sampler(records, cfg.DATALOADER.REPEAT_THRESHOLD, seed)
+    return training_sampler(len(records), seed)
+
+
+class DataLoader:
+    """Bounded-prefetch batch loader over a record list."""
+
+    def __init__(
+        self,
+        cfg,
+        records: List[dict],
+        batch_size: int,
+        train: bool,
+        seed: int = 0,
+        pad_hw=None,
+        num_workers: Optional[int] = None,
+    ):
+        self.records = records
+        self.batch_size = batch_size
+        self.train = train
+        self.mapper = DatasetMapper(cfg, train, pad_hw or pad_target_hw(cfg, train))
+        self.num_workers = (
+            cfg.DATALOADER.NUM_WORKERS if num_workers is None else num_workers
+        )
+        self.prefetch = max(1, cfg.TPU.PREFETCH_DEPTH)
+        self.seed = seed
+        if train:
+            if cfg.DATALOADER.FILTER_EMPTY_ANNOTATIONS:
+                filtered = [r for r in records if r.get("annotations")]
+                self.records = filtered or records
+            self.sampler = build_sampler(cfg, self.records, seed)
+        else:
+            self.sampler = None
+
+    def _make_batch(self, indices: List[int], seeds: List[int]) -> Dict[str, np.ndarray]:
+        from concurrent.futures import ThreadPoolExecutor
+
+        def one(args):
+            i, s = args
+            return self.mapper(self.records[i], np.random.RandomState(s))
+
+        if self.num_workers > 0 and len(indices) > 1:
+            with ThreadPoolExecutor(min(self.num_workers, len(indices))) as ex:
+                examples = list(ex.map(one, zip(indices, seeds)))
+        else:
+            examples = [one(a) for a in zip(indices, seeds)]
+        batch: Dict[str, np.ndarray] = {}
+        for k in examples[0]:
+            if k == "image_id":
+                batch[k] = [e[k] for e in examples]
+            else:
+                batch[k] = np.stack([e[k] for e in examples])
+        return batch
+
+    def __iter__(self):
+        if self.train:
+            return self._train_iter()
+        return self._eval_iter()
+
+    def _train_iter(self):
+        seed_counter = itertools.count(self.seed * 1_000_003 + 1)
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            while not stop.is_set():
+                idx = [next(self.sampler) for _ in range(self.batch_size)]
+                seeds = [next(seed_counter) % (2 ** 31) for _ in idx]
+                q.put(self._make_batch(idx, seeds))
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                yield q.get()
+        finally:
+            stop.set()
+            try:  # unblock the producer if it is waiting on a full queue
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+
+    def _eval_iter(self):
+        n = len(self.records)
+        for start in range(0, n, self.batch_size):
+            idx = list(range(start, min(start + self.batch_size, n)))
+            real = len(idx)
+            while len(idx) < self.batch_size:  # pad the last batch
+                idx.append(idx[-1])
+            batch = self._make_batch(idx, [0] * len(idx))
+            batch["batch_valid"] = np.arange(self.batch_size) < real
+            yield batch
+
+    def __len__(self):
+        if self.train:
+            raise TypeError("train loader is infinite")
+        return -(-len(self.records) // self.batch_size)

@@ -1,0 +1,171 @@
+"""Dataset mapper: record dict -> static-shape training/eval example.
+
+Re-design of DAFNeDatasetMapper (dafne/data/datasets/dafne_dataset_mapper.py:
+13-47) for static TPU shapes:
+
+  read image -> affine aug pipeline -> transform corners exactly
+  -> drop degenerate/empty instances (filter_empty_instances equivalent)
+  -> canonical corner sort (SORT_CORNERS_DATALOADER, :37-38)
+  -> shoelace area of the transformed quad (gt_corners_area, :41)
+  -> pad instances to TPU.MAX_INSTANCES and the image to a fixed
+     (pad_h, pad_w) canvas (the size_divisibility padding of
+     one_stage_detector.py:100-107, hoisted to the host).
+
+Outputs are plain numpy arrays ready to be stacked into a batch.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from dafne_tpu.data import transforms as T
+
+
+def _sort_quad_np(corners: np.ndarray) -> np.ndarray:
+    """NumPy mirror of geometry.quads.sort_quadrilateral for the host path."""
+    out = np.empty_like(corners)
+    for i, c in enumerate(corners.reshape(-1, 4, 2)):
+        left = int(np.argmin(c[:, 0]))
+        p1 = c[left]
+        rem = np.delete(c, left, axis=0)
+        p3, others = None, None
+        for j in range(3):
+            o = np.delete(rem, j, axis=0)
+            l = np.cross(rem[j] - p1, o[0] - p1)
+            r = np.cross(rem[j] - p1, o[1] - p1)
+            if l * r < 0:
+                p3, others = rem[j], o
+                break
+        if p3 is None:
+            p3, others = rem[0], rem[1:]
+        ca = np.cross(p3 - p1, others[0] - p1)
+        cb = np.cross(p3 - p1, others[1] - p1)
+        if ca > 0 or (ca <= 0 and cb <= 0):
+            p2, p4 = others[0], others[1]
+        else:
+            p2, p4 = others[1], others[0]
+        out.reshape(-1, 4, 2)[i] = [p1, p2, p3, p4]
+    return out
+
+
+def _shoelace(corners: np.ndarray) -> np.ndarray:
+    x = corners[:, 0::2]
+    y = corners[:, 1::2]
+    return 0.5 * np.abs(
+        (x * np.roll(y, -1, axis=1)).sum(1) - (y * np.roll(x, -1, axis=1)).sum(1)
+    )
+
+
+def read_image(path: str, fmt: str = "BGR") -> np.ndarray:
+    import cv2
+
+    img = cv2.imread(path, cv2.IMREAD_COLOR)  # BGR uint8
+    if img is None:
+        raise FileNotFoundError(path)
+    if fmt == "RGB":
+        img = img[:, :, ::-1]
+    return img
+
+
+class DatasetMapper:
+    """Callable record -> example; `train` toggles augmentation."""
+
+    def __init__(self, cfg, train: bool, pad_hw: Tuple[int, int]):
+        self.cfg = cfg
+        self.train = train
+        self.pad_h, self.pad_w = pad_hw
+        self.max_inst = cfg.TPU.MAX_INSTANCES
+        self.sort_corners = cfg.MODEL.DAFNE.SORT_CORNERS_DATALOADER
+        self.fmt = cfg.INPUT.FORMAT
+        self.color_aug = cfg.INPUT.USE_COLOR_AUGMENTATIONS and train
+
+    def __call__(
+        self, record: Dict, rng: Optional[np.random.RandomState] = None
+    ) -> Dict[str, np.ndarray]:
+        rng = rng or np.random.RandomState()
+        if "image" in record:  # pre-loaded (synthetic datasets)
+            img = record["image"]
+        else:
+            img = read_image(record["file_name"], self.fmt)
+        h, w = img.shape[:2]
+
+        if self.train:
+            aug = T.build_train_augmentations(self.cfg, w, h, rng)
+        else:
+            aug = T.build_test_augmentation(self.cfg, w, h)
+        img = aug.apply_image(img)
+        if self.color_aug:
+            img = T.apply_color_augmentations(img, rng)
+
+        annos = record.get("annotations", [])
+        corners = np.asarray(
+            [a["corners"] for a in annos], dtype=np.float64
+        ).reshape(-1, 8)
+        classes = np.asarray([a["category_id"] for a in annos], dtype=np.int32)
+        difficult = np.asarray(
+            [a.get("difficult", False) for a in annos], dtype=bool
+        )
+
+        if len(corners):
+            corners = aug.apply_coords(corners.reshape(-1, 4, 2)).reshape(-1, 8)
+            # filter_empty_instances equivalent: enclosing hbox must be
+            # non-degenerate after augmentation
+            xs, ys = corners[:, 0::2], corners[:, 1::2]
+            keep = (xs.max(1) - xs.min(1) > 1e-3) & (ys.max(1) - ys.min(1) > 1e-3)
+            corners, classes, difficult = corners[keep], classes[keep], difficult[keep]
+        if len(corners) and self.sort_corners:
+            corners = _sort_quad_np(corners)
+
+        n = min(len(corners), self.max_inst)
+        gt_corners = np.zeros((self.max_inst, 8), np.float32)
+        gt_hbox = np.zeros((self.max_inst, 4), np.float32)
+        gt_classes = np.zeros((self.max_inst,), np.int32)
+        gt_area = np.zeros((self.max_inst,), np.float32)
+        gt_valid = np.zeros((self.max_inst,), bool)
+        gt_difficult = np.zeros((self.max_inst,), bool)
+        if n:
+            c = corners[:n].astype(np.float32)
+            gt_corners[:n] = c
+            xs, ys = c[:, 0::2], c[:, 1::2]
+            gt_hbox[:n] = np.stack(
+                [xs.min(1), ys.min(1), xs.max(1), ys.max(1)], axis=1
+            )
+            gt_classes[:n] = classes[:n]
+            gt_area[:n] = _shoelace(c)
+            gt_valid[:n] = True
+            gt_difficult[:n] = difficult[:n]
+
+        rh, rw = img.shape[:2]
+        canvas = np.zeros((self.pad_h, self.pad_w, 3), np.float32)
+        canvas[:rh, :rw] = img[: self.pad_h, : self.pad_w]
+
+        return {
+            "image": canvas,
+            "gt_corners": gt_corners,
+            "gt_hbox": gt_hbox,
+            "gt_classes": gt_classes,
+            "gt_area": gt_area,
+            "gt_valid": gt_valid,
+            "gt_difficult": gt_difficult,
+            "image_id": record.get("image_id", ""),
+            "orig_hw": np.asarray([h, w], np.int32),
+            "resized_hw": np.asarray([rh, rw], np.int32),
+            # resized -> original scale, for rescaling predictions at eval
+            "scale_xy": np.asarray([w / rw, h / rh], np.float32),
+        }
+
+
+def pad_target_hw(cfg, train: bool) -> Tuple[int, int]:
+    """The static canvas size for a config (max resize, rounded up to the
+    size divisibility)."""
+    div = cfg.TPU.IMAGE_SIZE_DIVISIBILITY
+    if cfg.INPUT.RESIZE_TYPE == "both":
+        h = cfg.INPUT.RESIZE_HEIGHT_TRAIN if train else cfg.INPUT.RESIZE_HEIGHT_TEST
+        w = cfg.INPUT.RESIZE_WIDTH_TRAIN if train else cfg.INPUT.RESIZE_WIDTH_TEST
+    else:
+        m = cfg.INPUT.MAX_SIZE_TRAIN if train else cfg.INPUT.MAX_SIZE_TEST
+        h = w = m
+    rup = lambda v: int(-(-v // div) * div)
+    return rup(h), rup(w)

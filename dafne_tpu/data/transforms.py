@@ -1,0 +1,196 @@
+"""Host-side augmentations as composable affine transforms.
+
+Re-design of the reference augmentation stack (dafne/data/transforms/
+transform.py:17-142 + the assembly in tools/plain_train_net.py:219-313).
+Every geometric aug used by DAFNe (hflip, vflip, 90-degree-multiple or
+arbitrary rotation about the image center with the OpenCV half-pixel fix,
+shortest-edge or fixed resize) is an affine map — so the whole pipeline
+composes into ONE 3x3 matrix per image:
+
+  - corners transform exactly (matrix multiply, no resampling error),
+  - the image is warped once (cv2.warpAffine, or cheap flip/rot90/resize
+    fast paths when the matrix is axis-aligned),
+  - TTA inversion is just the inverse matrix (tta.py:236-262 equivalent).
+
+Color augmentations (brightness/contrast/saturation, INPUT.USE_COLOR_AUGMENTATIONS)
+operate on pixels only and don't enter the matrix.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+try:
+    import cv2
+except Exception:  # pragma: no cover
+    cv2 = None
+
+
+@dataclasses.dataclass
+class AffineAug:
+    """An affine coordinate map (y = M @ [x, 1]) plus the output image size."""
+
+    matrix: np.ndarray  # [2, 3] float64
+    out_w: int
+    out_h: int
+
+    def apply_coords(self, pts: np.ndarray) -> np.ndarray:
+        """pts [..., 2] -> transformed [..., 2]."""
+        shape = pts.shape
+        p = pts.reshape(-1, 2).astype(np.float64)
+        out = p @ self.matrix[:, :2].T + self.matrix[:, 2]
+        return out.reshape(shape)
+
+    def invert_coords(self, pts: np.ndarray) -> np.ndarray:
+        m = np.vstack([self.matrix, [0, 0, 1]])
+        inv = np.linalg.inv(m)[:2]
+        shape = pts.shape
+        p = pts.reshape(-1, 2).astype(np.float64)
+        out = p @ inv[:, :2].T + inv[:, 2]
+        return out.reshape(shape)
+
+    def compose(self, other: "AffineAug") -> "AffineAug":
+        """self followed by other."""
+        a = np.vstack([self.matrix, [0, 0, 1]])
+        b = np.vstack([other.matrix, [0, 0, 1]])
+        return AffineAug((b @ a)[:2], other.out_w, other.out_h)
+
+    def apply_image(self, img: np.ndarray) -> np.ndarray:
+        m = self.matrix
+        # fast paths for pure positive scaling / identity (cv2.resize already
+        # uses the pixel-center convention)
+        if np.allclose(m[:, :2], np.diag(np.diag(m[:, :2]))) and np.allclose(
+            m[:, 2], 0
+        ) and m[0, 0] > 0 and m[1, 1] > 0:
+            if (
+                m[0, 0] == 1 and m[1, 1] == 1
+                and img.shape[1] == self.out_w and img.shape[0] == self.out_h
+            ):
+                return img
+            return cv2.resize(
+                img, (self.out_w, self.out_h), interpolation=cv2.INTER_LINEAR
+            )
+        # The stored matrix maps BOUNDARY coordinates (pixel (i, j) covers
+        # [i, i+1) x [j, j+1)); cv2.warpAffine addresses pixel CENTERS at
+        # integer coords, so the image matrix is A(x) = M(x + 0.5) - 0.5
+        # (the reference keeps the same two matrices: transform.py:46-48,
+        # rm_coords vs rm_image with offset=-0.5).
+        lin = m[:, :2]
+        a_img = np.hstack(
+            [lin, (lin @ np.array([0.5, 0.5]) + m[:, 2] - 0.5)[:, None]]
+        )
+        return cv2.warpAffine(
+            img, a_img.astype(np.float32), (self.out_w, self.out_h),
+            flags=cv2.INTER_LINEAR,
+        )
+
+
+def identity(w: int, h: int) -> AffineAug:
+    return AffineAug(np.asarray([[1.0, 0, 0], [0, 1, 0]]), w, h)
+
+
+def hflip(w: int, h: int) -> AffineAug:
+    return AffineAug(np.asarray([[-1.0, 0, w], [0, 1, 0]]), w, h)
+
+
+def vflip(w: int, h: int) -> AffineAug:
+    return AffineAug(np.asarray([[1.0, 0, 0], [0, -1, h]]), w, h)
+
+
+def rotation(w: int, h: int, angle_deg: float) -> AffineAug:
+    """Counter-clockwise rotation about the image center, same output size.
+
+    Matches cv2.getRotationMatrix2D((w/2, h/2), angle, 1) — the coordinate
+    matrix of the reference RotationTransform (transform.py:46-47,75-78);
+    the -0.5 image-warp offset is applied inside `apply_image`.
+    """
+    angle = np.deg2rad(angle_deg)
+    c, s = np.cos(angle), np.sin(angle)
+    cx, cy = w / 2, h / 2
+    rot = np.asarray([[c, s], [-s, c]])
+    t = np.asarray([cx, cy]) - rot @ np.asarray([cx, cy])
+    m = np.hstack([rot, t[:, None]])
+    return AffineAug(m, w, h)
+
+
+def resize(w: int, h: int, new_w: int, new_h: int) -> AffineAug:
+    return AffineAug(
+        np.asarray([[new_w / w, 0, 0], [0, new_h / h, 0]], dtype=np.float64),
+        new_w,
+        new_h,
+    )
+
+
+def shortest_edge_resize(
+    w: int, h: int, min_size: int, max_size: int
+) -> AffineAug:
+    """Detectron2 ResizeShortestEdge semantics."""
+    size = float(min_size)
+    scale = size / min(h, w)
+    if h < w:
+        new_h, new_w = size, scale * w
+    else:
+        new_h, new_w = scale * h, size
+    if max(new_h, new_w) > max_size:
+        scale2 = max_size / max(new_h, new_w)
+        new_h, new_w = new_h * scale2, new_w * scale2
+    new_w = int(new_w + 0.5)
+    new_h = int(new_h + 0.5)
+    return resize(w, h, new_w, new_h)
+
+
+def build_train_augmentations(cfg, w: int, h: int, rng: np.random.RandomState) -> AffineAug:
+    """Random train-time pipeline (plain_train_net.py:219-277 semantics):
+    hflip p=.5 (if INPUT.HFLIP_TRAIN), vflip p=.5, rotation from
+    INPUT.ROTATION_AUG_ANGLES ("choice" or "range"), then resize."""
+    aug = identity(w, h)
+    if cfg.INPUT.HFLIP_TRAIN and rng.rand() < 0.5:
+        aug = aug.compose(hflip(aug.out_w, aug.out_h))
+    if rng.rand() < 0.5:
+        aug = aug.compose(vflip(aug.out_w, aug.out_h))
+    angles = list(cfg.INPUT.ROTATION_AUG_ANGLES)
+    if angles:
+        if cfg.INPUT.ROTATION_AUG_SAMPLE_STYLE == "range" and len(angles) == 2:
+            angle = float(rng.uniform(angles[0], angles[1]))
+        else:
+            angle = float(angles[rng.randint(len(angles))])
+        if angle % 360 != 0:
+            aug = aug.compose(rotation(aug.out_w, aug.out_h, angle))
+    if cfg.INPUT.RESIZE_TYPE == "shortest-edge":
+        sizes = list(cfg.INPUT.MIN_SIZE_TRAIN)
+        min_size = int(sizes[rng.randint(len(sizes))]) if sizes else min(w, h)
+        aug = aug.compose(
+            shortest_edge_resize(
+                aug.out_w, aug.out_h, min_size, cfg.INPUT.MAX_SIZE_TRAIN
+            )
+        )
+    else:  # "both"
+        aug = aug.compose(
+            resize(
+                aug.out_w, aug.out_h,
+                cfg.INPUT.RESIZE_WIDTH_TRAIN, cfg.INPUT.RESIZE_HEIGHT_TRAIN,
+            )
+        )
+    return aug
+
+
+def build_test_augmentation(cfg, w: int, h: int) -> AffineAug:
+    if cfg.INPUT.RESIZE_TYPE == "shortest-edge":
+        return shortest_edge_resize(
+            w, h, cfg.INPUT.MIN_SIZE_TEST, cfg.INPUT.MAX_SIZE_TEST
+        )
+    return resize(w, h, cfg.INPUT.RESIZE_WIDTH_TEST, cfg.INPUT.RESIZE_HEIGHT_TEST)
+
+
+def apply_color_augmentations(img: np.ndarray, rng: np.random.RandomState) -> np.ndarray:
+    """Brightness/contrast/saturation jitter (INPUT.USE_COLOR_AUGMENTATIONS)."""
+    img = img.astype(np.float32)
+    img = img * rng.uniform(0.9, 1.1)  # brightness
+    mean = img.mean()
+    img = (img - mean) * rng.uniform(0.9, 1.1) + mean  # contrast
+    gray = img.mean(axis=2, keepdims=True)
+    img = (img - gray) * rng.uniform(0.9, 1.1) + gray  # saturation
+    return np.clip(img, 0, 255)

@@ -1,0 +1,188 @@
+"""Training and evaluation driver loops.
+
+Re-design of tools/plain_train_net.py's do_train/do_test (390-492, 316-336)
+for single-program SPMD: ONE process drives the whole mesh; the train step
+is jitted once with donated state; batches stream from the host loader with
+the leading axis sharded over the mesh "data" axis.  NaN detection, periodic
+eval, checkpointing and metric writing mirror the reference loop.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dafne_tpu.data import DatasetCatalog, get_dataset, register_all_datasets
+from dafne_tpu.data.loader import DataLoader
+from dafne_tpu.data.mapper import pad_target_hw
+from dafne_tpu.engine.checkpoint import Checkpointer
+from dafne_tpu.engine.events import build_writers
+from dafne_tpu.engine.optimizer import auto_scale_config, build_optimizer
+from dafne_tpu.engine.trainer import (
+    TrainState,
+    make_eval_step,
+    make_train_step,
+)
+from dafne_tpu.evaluation import build_evaluator
+from dafne_tpu.models import build_model
+from dafne_tpu.parallel import batch_sharding, create_mesh, replicated_sharding
+from dafne_tpu.parallel.mesh import mesh_from_config
+
+logger = logging.getLogger("dafne_tpu")
+
+_DEVICE_KEYS = (
+    "image", "gt_corners", "gt_hbox", "gt_classes", "gt_area", "gt_valid",
+)
+
+
+def setup_logging(output_dir: Optional[str] = None):
+    handlers = [logging.StreamHandler()]
+    if output_dir:
+        os.makedirs(output_dir, exist_ok=True)
+        handlers.append(logging.FileHandler(os.path.join(output_dir, "log.txt")))
+    logging.basicConfig(
+        level=logging.INFO,
+        format="[%(asctime)s %(name)s] %(message)s",
+        handlers=handlers,
+        force=True,
+    )
+
+
+def build_state(cfg, model, image_hw, rng=None):
+    import jax.random as jrandom
+
+    rng = rng if rng is not None else jrandom.PRNGKey(max(cfg.SEED, 0))
+    h, w = image_hw
+    params = model.init(rng, jnp.zeros((1, h, w, 3)))["params"]
+    tx, schedule = build_optimizer(cfg, params)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=params, opt_state=tx.init(params),
+        tx=tx,
+    )
+    return state, tx, schedule
+
+
+def do_test(cfg, model, params, output_dir=None) -> Dict[str, Dict[str, float]]:
+    """Evaluate on every cfg.DATASETS.TEST dataset (plain_train_net.py:316-336)."""
+    results = {}
+    pad_hw = pad_target_hw(cfg, train=False)
+    eval_step = jax.jit(make_eval_step(model, cfg, pad_hw))
+    for dataset_name in cfg.DATASETS.TEST:
+        records = get_dataset(dataset_name, cfg)
+        loader = DataLoader(
+            cfg, records, batch_size=max(1, min(8, cfg.SOLVER.IMS_PER_BATCH)),
+            train=False,
+        )
+        out_dir = (
+            os.path.join(output_dir, "inference", dataset_name) if output_dir else None
+        )
+        evaluator = build_evaluator(cfg, dataset_name, records, out_dir)
+        t0 = time.perf_counter()
+        n_images = 0
+        for batch in loader:
+            det = eval_step(
+                params,
+                jnp.asarray(batch["image"]),
+                jnp.asarray(batch["scale_xy"]),
+            )
+            det = {k: np.asarray(v) for k, v in det.items()}
+            evaluator.process_batch(batch, det)
+            n_images += int(batch["batch_valid"].sum())
+        dt = time.perf_counter() - t0
+        res = evaluator.evaluate()
+        logger.info(
+            f"eval {dataset_name}: {n_images} images in {dt:.1f}s "
+            f"({n_images / max(dt, 1e-9):.2f} img/s) mAP={res.get('mAP', 0):.2f}"
+        )
+        results[dataset_name] = res
+    return results
+
+
+def do_train(cfg, model, resume: bool = False):
+    output_dir = cfg.OUTPUT_DIR
+    os.makedirs(output_dir, exist_ok=True)
+    mesh = mesh_from_config(cfg)
+    n_dev = int(np.prod(mesh.devices.shape))
+    cfg = auto_scale_config(cfg, n_dev) if cfg.SOLVER.REFERENCE_WORLD_SIZE else cfg
+    batch_size = cfg.SOLVER.IMS_PER_BATCH
+    assert batch_size % n_dev == 0, (batch_size, n_dev)
+
+    pad_hw = pad_target_hw(cfg, train=True)
+    logger.info(f"devices={n_dev} batch={batch_size} pad_hw={pad_hw}")
+
+    state, tx, schedule = build_state(cfg, model, pad_hw)
+    checkpointer = Checkpointer(output_dir)
+    state, start_iter = checkpointer.resume_or_load(state, cfg, resume)
+
+    # replicate state over the mesh, shard batches along "data"
+    state = jax.device_put(state, replicated_sharding(mesh))
+    data_sharding = batch_sharding(mesh)
+
+    step_fn = jax.jit(
+        make_train_step(model, cfg, pad_hw, tx, schedule),
+        donate_argnums=(0,) if cfg.TPU.DONATE_STATE else (),
+    )
+
+    # train data
+    train_records = []
+    for name in cfg.DATASETS.TRAIN:
+        train_records += get_dataset(name, cfg)
+    loader = DataLoader(
+        cfg, train_records, batch_size, train=True, seed=max(cfg.SEED, 0)
+    )
+    logger.info(f"train records: {len(train_records)}")
+
+    writers = build_writers(output_dir, cfg.SOLVER.MAX_ITER)
+    max_iter = cfg.SOLVER.MAX_ITER
+    eval_period = cfg.TEST.EVAL_PERIOD
+    ckpt_period = cfg.SOLVER.CHECKPOINT_PERIOD
+
+    data_iter = iter(loader)
+    metrics = None
+    t_data = 0.0
+    for it in range(start_iter, max_iter):
+        t0 = time.perf_counter()
+        batch = next(data_iter)
+        device_batch = {
+            k: jax.device_put(jnp.asarray(batch[k]), data_sharding)
+            for k in _DEVICE_KEYS
+        }
+        t_data += time.perf_counter() - t0
+        state, metrics = step_fn(state, device_batch)
+
+        if (it + 1) % 20 == 0 or it == start_iter:
+            host = {k: float(v) for k, v in metrics.items()}
+            host["data_time"] = t_data / max(1, (20 if it != start_iter else 1))
+            t_data = 0.0
+            if cfg.DEBUG.NAN_CHECK and not host.get("loss_is_finite", 1.0):
+                raise FloatingPointError(
+                    f"Loss became non-finite at iteration {it}: {host}"
+                )
+            for w in writers:
+                w.write(it + 1, host)
+
+        if ckpt_period and (it + 1) % ckpt_period == 0:
+            checkpointer.save(it + 1, jax.device_get(state))
+        if eval_period and (it + 1) % eval_period == 0 and (it + 1) != max_iter:
+            do_test(cfg, model, state.params, output_dir)
+
+    checkpointer.save(max_iter, jax.device_get(state))
+    checkpointer.wait()
+    for w in writers:
+        w.close()
+    return state
+
+
+def default_setup(cfg, args=None):
+    """Register datasets + logging + snapshot the config into OUTPUT_DIR
+    (plain_train_net.py:507-544 semantics)."""
+    setup_logging(cfg.OUTPUT_DIR)
+    register_all_datasets(cfg)
+    os.makedirs(cfg.OUTPUT_DIR, exist_ok=True)
+    cfg.dump_to_file(os.path.join(cfg.OUTPUT_DIR, "config.yaml"))

@@ -1,0 +1,197 @@
+"""Torch/Detectron2 checkpoint importer (SURVEY.md §7 hard part #7).
+
+Converts the reference's weights into this framework's flax param tree:
+
+- Detectron2 ImageNet backbone pickles (`R-50.pkl`: numpy arrays keyed
+  `stem.conv1.weight`, `res2.0.conv1.norm.running_mean`, ...)
+- full DAFNe training checkpoints (`model_*.pth`: torch tensors keyed
+  `backbone.bottom_up.stem...`, `backbone.fpn_lateral3...`,
+  `proposal_generator.dafne_head.cls_tower.0.weight`, ...)
+
+Conv kernels transpose NCHW->HWIO; FrozenBN/GN stats and affines map by
+name.  Unmatched reference keys and unfilled target leaves are reported so
+parity gaps are visible instead of silent.
+"""
+
+from __future__ import annotations
+
+import logging
+import pickle
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+logger = logging.getLogger("dafne_tpu")
+
+
+def _load_state_dict(path: str) -> Dict[str, np.ndarray]:
+    if path.endswith(".pkl"):
+        with open(path, "rb") as f:
+            data = pickle.load(f, encoding="latin1")
+        sd = data.get("model", data)
+    else:
+        import torch
+
+        data = torch.load(path, map_location="cpu", weights_only=False)
+        sd = data.get("model", data)
+        sd = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
+    return {k: np.asarray(v) for k, v in sd.items() if not k.startswith("pixel_")}
+
+
+def _strip_prefixes(key: str) -> str:
+    for p in ("module.", "backbone.bottom_up.", "bottom_up."):
+        if key.startswith(p):
+            key = key[len(p):]
+    return key
+
+
+def _map_key(key: str) -> Optional[Tuple[Tuple[str, ...], str]]:
+    """Reference key -> (flax path tuple, kind) where kind in
+    {conv_w, b, affine_w, affine_b, mean, var, gn_w, gn_b, scale}."""
+    k = _strip_prefixes(key)
+
+    # ----- backbone stem / stages ------------------------------------------
+    m = re.match(r"stem\.conv1\.(weight|bias)$", k)
+    if m:
+        return ("backbone", "stem_conv1", "kernel" if m[1] == "weight" else "bias"), (
+            "conv_w" if m[1] == "weight" else "b"
+        )
+    m = re.match(r"stem\.conv1\.norm\.(\w+)$", k)
+    if m:
+        return ("backbone", "stem_conv1_norm", m[1]), "affine"
+    m = re.match(r"res(\d)\.(\d+)\.(conv\d|shortcut)\.weight$", k)
+    if m:
+        return ("backbone", f"res{m[1]}_{m[2]}", m[3], "kernel"), "conv_w"
+    m = re.match(r"res(\d)\.(\d+)\.(conv\d|shortcut)\.norm\.(\w+)$", k)
+    if m:
+        return ("backbone", f"res{m[1]}_{m[2]}", f"{m[3]}_norm", m[4]), "affine"
+
+    # ----- FPN ---------------------------------------------------------------
+    m = re.match(r"backbone\.fpn_lateral(\d)\.(weight|bias)$", key) or re.match(
+        r"fpn_lateral(\d)\.(weight|bias)$", k
+    )
+    if m:
+        return (
+            "fpn", f"lateral_res{m[1]}", "kernel" if m[2] == "weight" else "bias"
+        ), ("conv_w" if m[2] == "weight" else "b")
+    m = re.match(r"backbone\.fpn_output(\d)\.(weight|bias)$", key) or re.match(
+        r"fpn_output(\d)\.(weight|bias)$", k
+    )
+    if m:
+        return (
+            "fpn", f"output_p{m[1]}", "kernel" if m[2] == "weight" else "bias"
+        ), ("conv_w" if m[2] == "weight" else "b")
+    m = re.match(r"(?:backbone\.)?top_block\.p(\d)\.(weight|bias)$", key)
+    if m:
+        return ("fpn", f"p{m[1]}", "kernel" if m[2] == "weight" else "bias"), (
+            "conv_w" if m[2] == "weight" else "b"
+        )
+
+    # ----- DAFNe head ----------------------------------------------------------
+    m = re.match(
+        r"proposal_generator\.dafne_head\.(cls|corners|center|share)_tower\.(\d+)\.(weight|bias)$",
+        key,
+    )
+    if m:
+        tower, idx, wb = m[1], int(m[2]), m[3]
+        # torch Sequential: conv at 3i, GN at 3i+1 (with norm) -> detect by mod
+        if idx % 3 == 0:
+            return (
+                "head", f"{tower}_tower", f"conv{idx // 3}",
+                "kernel" if wb == "weight" else "bias",
+            ), ("conv_w" if wb == "weight" else "b")
+        return (
+            "head", f"{tower}_tower", f"norm{idx // 3}",
+            "scale" if wb == "weight" else "bias",
+        ), "b"
+    m = re.match(
+        r"proposal_generator\.dafne_head\.(cls_logits|ctrness|corners_pred|center_pred|xywha_pred|c\d_pred)\.(weight|bias)$",
+        key,
+    )
+    if m:
+        return ("head", m[1], "kernel" if m[2] == "weight" else "bias"), (
+            "conv_w" if m[2] == "weight" else "b"
+        )
+    m = re.match(r"proposal_generator\.dafne_head\.scales\.(\d+)\.scale$", key)
+    if m:
+        return ("head", "scales", int(m[1])), "scale_elem"
+    m = re.match(r"top_module\.(weight|bias)$", key)
+    if m:
+        return ("top_module", "kernel" if m[1] == "weight" else "bias"), (
+            "conv_w" if m[1] == "weight" else "b"
+        )
+    return None
+
+
+def load_reference_weights(path: str, params, strict: bool = False):
+    """Fill `params` (flax param tree) from a reference checkpoint."""
+    import jax
+
+    sd = _load_state_dict(path)
+    flat = _flatten(params)
+    scales_updates: Dict[int, float] = {}
+    used, missed = 0, []
+    for key, value in sd.items():
+        mapped = _map_key(key)
+        if mapped is None:
+            missed.append(key)
+            continue
+        path_t, kind = mapped
+        if kind == "scale_elem":
+            scales_updates[path_t[-1]] = float(np.asarray(value).reshape(()))
+            used += 1
+            continue
+        if path_t not in flat:
+            missed.append(key)
+            continue
+        v = np.asarray(value, np.float32)
+        if kind == "conv_w":
+            v = v.transpose(2, 3, 1, 0)  # OIHW -> HWIO
+        target = flat[path_t]
+        if v.shape != target.shape:
+            msg = f"shape mismatch for {key}: {v.shape} vs {target.shape}"
+            if strict:
+                raise ValueError(msg)
+            logger.warning(msg)
+            missed.append(key)
+            continue
+        flat[path_t] = v
+        used += 1
+
+    if scales_updates:
+        spath = ("head", "scales")
+        if spath in flat:
+            s = np.array(flat[spath])
+            for i, val in scales_updates.items():
+                s[i] = val
+            flat[spath] = s
+
+    logger.info(
+        f"weight import: {used}/{len(sd)} reference tensors used, "
+        f"{len(missed)} unmatched"
+    )
+    if missed[:10]:
+        logger.info(f"first unmatched: {missed[:10]}")
+    return _unflatten(flat, params)
+
+
+def _flatten(tree, prefix=()) -> Dict[tuple, np.ndarray]:
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, prefix + (k,)))
+    else:
+        out[prefix] = np.asarray(tree)
+    return out
+
+
+def _unflatten(flat: Dict[tuple, np.ndarray], template):
+    import jax.numpy as jnp
+
+    def build(tree, prefix=()):
+        if isinstance(tree, dict):
+            return {k: build(v, prefix + (k,)) for k, v in tree.items()}
+        return jnp.asarray(flat[prefix])
+
+    return build(template)

@@ -1,0 +1,140 @@
+"""Data layer tests: transforms, mapper, loader, samplers."""
+
+import numpy as np
+import pytest
+
+from dafne_tpu.config import get_cfg
+from dafne_tpu.data import transforms as T
+from dafne_tpu.data.datasets.synthetic import load_synthetic
+from dafne_tpu.data.loader import DataLoader, repeat_factors
+from dafne_tpu.data.mapper import DatasetMapper, pad_target_hw
+
+
+def syn_cfg(**kw):
+    cfg = get_cfg()
+    cfg.merge_from_file("configs/synthetic/base.yaml")
+    for k, v in kw.items():
+        cfg.merge_from_list([k, str(v)])
+    return cfg
+
+
+# ---------------------------------------------------------------- transforms
+
+
+def test_affine_flip_roundtrip():
+    aug = T.hflip(100, 80)
+    pts = np.asarray([[10.0, 20.0], [90.0, 60.0]])
+    out = aug.apply_coords(pts)
+    np.testing.assert_allclose(out, [[90, 20], [10, 60]])
+    np.testing.assert_allclose(aug.invert_coords(out), pts)
+
+
+def test_affine_rotation_90_exact():
+    # 90deg rotation about center of a 100x100 image maps (x, y) -> ...
+    aug = T.rotation(100, 100, 90)
+    c = np.asarray([[50.0, 50.0]])  # center fixed point
+    np.testing.assert_allclose(aug.apply_coords(c), c, atol=1e-9)
+    p = np.asarray([[10.0, 20.0]])
+    out = aug.apply_coords(p)
+    np.testing.assert_allclose(aug.invert_coords(out), p, atol=1e-9)
+    # distance to center preserved
+    assert np.linalg.norm(out - c) == pytest.approx(np.linalg.norm(p - c))
+
+
+def test_affine_compose_matches_sequential():
+    a = T.hflip(100, 80)
+    b = T.resize(100, 80, 50, 40)
+    ab = a.compose(b)
+    pts = np.asarray([[10.0, 20.0], [70.0, 60.0]])
+    np.testing.assert_allclose(
+        ab.apply_coords(pts), b.apply_coords(a.apply_coords(pts))
+    )
+    assert (ab.out_w, ab.out_h) == (50, 40)
+
+
+def test_shortest_edge_resize():
+    aug = T.shortest_edge_resize(200, 100, 50, 1000)
+    assert (aug.out_w, aug.out_h) == (100, 50)
+    aug2 = T.shortest_edge_resize(200, 100, 50, 80)  # capped by max_size
+    assert aug2.out_w == 80
+
+
+def test_affine_image_matches_coords():
+    import cv2
+
+    img = np.zeros((64, 64, 3), np.uint8)
+    img[10:20, 30:40] = 255
+    aug = T.hflip(64, 64)
+    out = aug.apply_image(img)
+    # the white block should now be mirrored in x
+    ys, xs = np.where(out[:, :, 0] > 0)
+    assert xs.min() == 64 - 40 and xs.max() == 64 - 31
+
+
+# ------------------------------------------------------------------- mapper
+
+
+def test_mapper_shapes_and_sorting():
+    cfg = syn_cfg()
+    rec = load_synthetic("train", 2)[0]
+    mapper = DatasetMapper(cfg, train=True, pad_hw=pad_target_hw(cfg, True))
+    ex = mapper(rec, np.random.RandomState(0))
+    assert ex["image"].shape == (256, 256, 3)
+    m = cfg.TPU.MAX_INSTANCES
+    assert ex["gt_corners"].shape == (m, 8)
+    assert ex["gt_valid"].sum() == len(rec["annotations"])
+    # corners canonically sorted: first vertex is leftmost
+    v = ex["gt_corners"][ex["gt_valid"]]
+    np.testing.assert_allclose(v[:, 0], v[:, 0::2].min(1), atol=1e-4)
+    # areas positive, hbox encloses corners
+    assert (ex["gt_area"][ex["gt_valid"]] > 0).all()
+
+
+def test_mapper_eval_scale():
+    cfg = syn_cfg()
+    cfg.INPUT.MIN_SIZE_TEST = 128
+    cfg.INPUT.MAX_SIZE_TEST = 128
+    rec = load_synthetic("val", 1)[0]  # 256x256 source
+    mapper = DatasetMapper(cfg, train=False, pad_hw=(128, 128))
+    ex = mapper(rec)
+    np.testing.assert_allclose(ex["scale_xy"], [2.0, 2.0])
+    # corners are in resized coords; scaling back must land inside original
+    v = ex["gt_corners"][ex["gt_valid"]] * 2.0
+    assert v.min() >= -1 and v.max() <= 257
+
+
+# ------------------------------------------------------------------- loader
+
+
+def test_train_loader_batches():
+    cfg = syn_cfg()
+    records = load_synthetic("train", 8)
+    loader = DataLoader(cfg, records, batch_size=4, train=True, num_workers=2)
+    it = iter(loader)
+    b = next(it)
+    assert b["image"].shape == (4, 256, 256, 3)
+    assert b["gt_corners"].shape[0] == 4
+    b2 = next(it)
+    assert not np.array_equal(b["image"], b2["image"])
+
+
+def test_eval_loader_padding():
+    cfg = syn_cfg()
+    records = load_synthetic("val", 5)
+    loader = DataLoader(cfg, records, batch_size=4, train=False, num_workers=0)
+    batches = list(loader)
+    assert len(batches) == 2
+    assert batches[1]["batch_valid"].sum() == 1  # 5 = 4 + 1
+
+
+def test_repeat_factors():
+    # rare class gets repeated
+    records = [
+        {"annotations": [{"category_id": 0}]},
+        {"annotations": [{"category_id": 0}]},
+        {"annotations": [{"category_id": 0}]},
+        {"annotations": [{"category_id": 1}]},  # freq 0.25
+    ]
+    f = repeat_factors(records, threshold=0.5)
+    np.testing.assert_allclose(f[:3], 1.0)
+    assert f[3] == pytest.approx(np.sqrt(0.5 / 0.25))
