@@ -140,6 +140,15 @@ def do_train(cfg, model, resume: bool = False):
 
     writers = build_writers(output_dir, cfg.SOLVER.MAX_ITER)
     max_iter = cfg.SOLVER.MAX_ITER
+
+    from dafne_tpu.utils.rtpt import RTPT
+
+    rtpt = RTPT(
+        experiment_name=cfg.EXPERIMENT_NAME,
+        max_iterations=max_iter,
+        status_file=os.path.join(output_dir, "rtpt_status"),
+    )
+    rtpt.start()
     eval_period = cfg.TEST.EVAL_PERIOD
     ckpt_period = cfg.SOLVER.CHECKPOINT_PERIOD
 
@@ -166,6 +175,7 @@ def do_train(cfg, model, resume: bool = False):
                 )
             for w in writers:
                 w.write(it + 1, host)
+            rtpt.step(iteration=it + 1)
 
         if ckpt_period and (it + 1) % ckpt_period == 0:
             checkpointer.save(it + 1, jax.device_get(state))

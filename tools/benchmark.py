@@ -1,0 +1,149 @@
+#!/usr/bin/env python3
+"""Benchmark harness: data / train / eval throughput.
+
+Equivalent of the reference harness (tools/benchmark.py:44-145):
+
+  python tools/benchmark.py --config-file configs/synthetic/base.yaml --task eval
+  python tools/benchmark.py --config-file ... --task train --iters 100
+  python tools/benchmark.py --config-file ... --task data
+
+`eval` measures single-chip end-to-end inference (model + decode + rotated
+NMS), `train` measures the full jitted SPMD train step on cached batches,
+`data` measures host dataloader throughput.
+"""
+
+import argparse
+import itertools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config-file", required=True)
+    p.add_argument("--task", choices=["data", "train", "eval"], default="eval")
+    p.add_argument("--iters", type=int, default=100)
+    p.add_argument("--warmup", type=int, default=5)
+    p.add_argument("--batch-size", type=int, default=0, help="override IMS_PER_BATCH")
+    p.add_argument("opts", nargs=argparse.REMAINDER, default=[])
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    from dafne_tpu.config import load_config
+
+    cfg = load_config(args.config_file, freeze=False)
+    if args.opts:
+        cfg.merge_from_list(args.opts)
+    if args.batch_size:
+        cfg.SOLVER.IMS_PER_BATCH = args.batch_size
+    cfg.SOLVER.REFERENCE_WORLD_SIZE = 0
+    cfg.freeze()
+
+    import jax
+    import jax.numpy as jnp
+
+    from dafne_tpu.data import get_dataset, register_all_datasets
+    from dafne_tpu.data.loader import DataLoader
+    from dafne_tpu.data.mapper import pad_target_hw
+    from dafne_tpu.models import build_model
+
+    register_all_datasets(cfg)
+    bs = cfg.SOLVER.IMS_PER_BATCH
+
+    if args.task == "data":
+        records = list(
+            itertools.chain(*(get_dataset(n, cfg) for n in cfg.DATASETS.TRAIN))
+        )
+        loader = DataLoader(cfg, records, bs, train=True)
+        it = iter(loader)
+        for _ in range(args.warmup):
+            next(it)
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            next(it)
+        dt = time.perf_counter() - t0
+        result = {"task": "data", "img_per_s": bs * args.iters / dt}
+
+    elif args.task == "train":
+        from dafne_tpu.engine.optimizer import build_optimizer
+        from dafne_tpu.engine.trainer import TrainState, make_train_step
+        from dafne_tpu.engine.train_loop import build_state
+
+        model = build_model(cfg)
+        pad_hw = pad_target_hw(cfg, train=True)
+        state, tx, schedule = build_state(cfg, model, pad_hw)
+        step = jax.jit(
+            make_train_step(model, cfg, pad_hw, tx, schedule), donate_argnums=(0,)
+        )
+        records = list(
+            itertools.chain(*(get_dataset(n, cfg) for n in cfg.DATASETS.TRAIN))
+        )
+        loader = DataLoader(cfg, records, bs, train=True)
+        it = iter(loader)
+        # cache a handful of batches on device (benchmark.py:91-110 style)
+        batches = [
+            {k: jnp.asarray(b[k]) for k in (
+                "image", "gt_corners", "gt_hbox", "gt_classes", "gt_area",
+                "gt_valid")}
+            for b in itertools.islice(it, 8)
+        ]
+        for i in range(args.warmup):
+            state, m = step(state, batches[i % len(batches)])
+        jax.block_until_ready(m)
+        t0 = time.perf_counter()
+        for i in range(args.iters):
+            state, m = step(state, batches[i % len(batches)])
+        jax.block_until_ready(m)
+        dt = time.perf_counter() - t0
+        result = {
+            "task": "train",
+            "img_per_s": bs * args.iters / dt,
+            "step_ms": dt / args.iters * 1000,
+        }
+
+    else:  # eval
+        from dafne_tpu.engine.trainer import make_eval_step
+
+        model = build_model(cfg)
+        pad_hw = pad_target_hw(cfg, train=False)
+        params = jax.jit(
+            lambda: model.init(
+                jax.random.PRNGKey(0), jnp.zeros((1,) + pad_hw + (3,))
+            )["params"]
+        )()
+        eval_step = jax.jit(make_eval_step(model, cfg, pad_hw))
+        rng = np.random.RandomState(0)
+        imgs = [
+            jnp.asarray(rng.rand(bs, *pad_hw, 3).astype(np.float32) * 255)
+            for _ in range(4)
+        ]
+        for i in range(args.warmup):
+            out = eval_step(params, imgs[i % 4])
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for i in range(args.iters):
+            out = eval_step(params, imgs[i % 4])
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        result = {
+            "task": "eval",
+            "img_per_s": bs * args.iters / dt,
+            "latency_ms": dt / args.iters * 1000,
+            "pad_hw": list(pad_hw),
+        }
+
+    result["batch_size"] = bs
+    result["device"] = str(jax.devices()[0])
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

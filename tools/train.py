@@ -57,6 +57,8 @@ def main(argv=None):
     default_setup(cfg, args)
     model = build_model(cfg)
 
+    from dafne_tpu.utils.notify import notify
+
     try:
         if args.eval_only:
             from dafne_tpu.data.mapper import pad_target_hw
@@ -74,15 +76,19 @@ def main(argv=None):
                 results["tta"] = do_test_with_tta(
                     cfg, model, state.params, cfg.OUTPUT_DIR
                 )
+            notify("eval_done", cfg, results)
             return results
 
         state = do_train(cfg, model, resume=args.resume)
-        return do_test(cfg, model, state.params, cfg.OUTPUT_DIR)
+        results = do_test(cfg, model, state.params, cfg.OUTPUT_DIR)
+        notify("train_done", cfg, results)
+        return results
     except Exception:
         # failure report to OUTPUT_DIR/error.txt (plain_train_net.py:631-655)
         os.makedirs(cfg.OUTPUT_DIR, exist_ok=True)
         with open(os.path.join(cfg.OUTPUT_DIR, "error.txt"), "w") as f:
             f.write(traceback.format_exc())
+        notify("failed", cfg, error=traceback.format_exc())
         raise
 
 

@@ -1,0 +1,105 @@
+#!/usr/bin/env python3
+"""FPN feature-map heatmap visualization.
+
+Equivalent of tools/vis/feature_maps.py (which depended on the external
+detectron2_backbone package): renders per-level channel-mean heatmaps of the
+FPN outputs side by side with the input image.
+
+  python tools/vis/feature_maps.py --config-file configs/synthetic/base.yaml \
+      --input img.png --output-dir /tmp/featmaps
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+)
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config-file", required=True)
+    p.add_argument("--input", required=True)
+    p.add_argument("--output-dir", default="featmaps")
+    p.add_argument("--weights", default="", help="checkpoint dir (OUTPUT_DIR)")
+    p.add_argument("opts", nargs=argparse.REMAINDER, default=[])
+    args = p.parse_args()
+
+    from dafne_tpu.config import load_config
+
+    cfg = load_config(args.config_file, freeze=False)
+    if args.opts:
+        cfg.merge_from_list(args.opts)
+    if args.weights:
+        cfg.OUTPUT_DIR = args.weights
+    cfg.freeze()
+
+    import cv2
+    import jax
+    import jax.numpy as jnp
+    import flax.linen as nn
+
+    from dafne_tpu.data.mapper import DatasetMapper, pad_target_hw
+    from dafne_tpu.engine.checkpoint import Checkpointer
+    from dafne_tpu.engine.train_loop import build_state
+    from dafne_tpu.models import build_model
+    from dafne_tpu.models.fpn import FPN
+    from dafne_tpu.models.resnet import ResNet
+
+    model = build_model(cfg)
+    pad_hw = pad_target_hw(cfg, train=False)
+    state, _, _ = build_state(cfg, model, pad_hw)
+    state, _ = Checkpointer(cfg.OUTPUT_DIR).resume_or_load(state, cfg, resume=True)
+
+    # pull the pyramid by re-running backbone+fpn with the trained params
+    def pyramid_fn(params, x):
+        mean = jnp.asarray(model.pixel_mean)
+        std = jnp.asarray(model.pixel_std)
+        x = (x - mean) / std
+        feats = ResNet(
+            depth=model.depth,
+            out_features=model.resnet_out_features,
+            freeze_at=model.freeze_at,
+            num_groups=model.num_groups,
+            width_per_group=model.width_per_group,
+            stem_out_channels=model.stem_out_channels,
+            res2_out_channels=model.res2_out_channels,
+            stride_in_1x1=model.stride_in_1x1,
+            dtype=model.dtype,
+        ).apply({"params": params["backbone"]}, x)
+        top_block = {2: "p6p7", 1: "p6", 0: ""}[model.top_levels]
+        return FPN(
+            in_features=tuple(model.resnet_out_features),
+            out_channels=model.fpn_out_channels,
+            top_block=top_block,
+            dtype=model.dtype,
+        ).apply({"params": params["fpn"]}, feats)
+
+    mapper = DatasetMapper(cfg, train=False, pad_hw=pad_hw)
+    ex = mapper({"file_name": args.input, "annotations": []})
+    pyramid = jax.jit(pyramid_fn)(state.params, jnp.asarray(ex["image"])[None])
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    base = os.path.splitext(os.path.basename(args.input))[0]
+    cv2.imwrite(
+        os.path.join(args.output_dir, f"{base}_input.png"),
+        ex["image"].astype(np.uint8),
+    )
+    for name, feat in sorted(pyramid.items()):
+        fm = np.asarray(feat[0]).mean(-1)  # channel mean [H, W]
+        fm = fm - fm.min()
+        fm = fm / max(fm.max(), 1e-9)
+        heat = cv2.applyColorMap((fm * 255).astype(np.uint8), cv2.COLORMAP_JET)
+        heat = cv2.resize(heat, (pad_hw[1], pad_hw[0]), interpolation=cv2.INTER_NEAREST)
+        overlay = (0.5 * heat + 0.5 * ex["image"]).astype(np.uint8)
+        dst = os.path.join(args.output_dir, f"{base}_{name}.png")
+        cv2.imwrite(dst, overlay)
+        print(dst)
+
+
+if __name__ == "__main__":
+    main()
