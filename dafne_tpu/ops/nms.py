@@ -38,6 +38,24 @@ def apply_class_merge(classes: jnp.ndarray, class_merge: Sequence[Tuple[int, int
     return merged
 
 
+def _default_impl() -> str:
+    """Pallas on TPU, XLA elsewhere (CPU tests, interpret-free)."""
+    try:
+        plat = jax.devices()[0].platform
+    except Exception:
+        plat = "cpu"
+    return "pallas" if plat == "tpu" else "xla"
+
+
+def _as_ccw_rows(corners: jnp.ndarray) -> jnp.ndarray:
+    """[N, 8] -> CCW vertex order (static permutation, no strided reverse)."""
+    v = corners.reshape(-1, 4, 2)
+    nxt = jnp.roll(v, -1, axis=-2)
+    s = 0.5 * jnp.sum(v[..., 0] * nxt[..., 1] - nxt[..., 0] * v[..., 1], -1)
+    rev = jnp.stack([v[:, 3], v[:, 2], v[:, 1], v[:, 0]], axis=1)
+    return jnp.where(s[:, None, None] < 0.0, rev, v).reshape(-1, 8)
+
+
 def rotated_nms(
     corners: jnp.ndarray,  # [N, 8]
     scores: jnp.ndarray,  # [N]
@@ -45,15 +63,19 @@ def rotated_nms(
     valid: jnp.ndarray,  # [N] bool
     iou_threshold: float,
     class_merge: Sequence[Tuple[int, int]] = ((5, 4),),
+    impl: str = "auto",
 ) -> jnp.ndarray:
     """Greedy class-aware rotated NMS.
 
     Boxes are processed in score-descending order; a box is suppressed when
     its exact quad IoU with an earlier kept box of the same (merged) class
     exceeds `iou_threshold`.  Returns keep [N] bool aligned with the input
-    order.
+    order.  `impl`: "pallas" (TPU kernel), "xla", or "auto".
     """
     n = corners.shape[0]
+    if impl == "auto":
+        impl = _default_impl()
+
     neg = jnp.asarray(-jnp.inf, scores.dtype)
     order = jnp.argsort(jnp.where(valid, scores, neg))[::-1]  # desc, invalid last
 
@@ -61,26 +83,43 @@ def rotated_nms(
     s_valid = valid[order]
     s_classes = apply_class_merge(classes[order], class_merge)
 
-    iou = quad_iou_matrix(s_corners, s_corners)  # [N, N]
-    same_class = s_classes[:, None] == s_classes[None, :]
-    suppress_mat = (iou > iou_threshold) & same_class
-    # only earlier (higher-score) kept boxes can suppress later ones
-    later = jnp.arange(n)[None, :] > jnp.arange(n)[:, None]
-    suppress_mat = suppress_mat & later
+    if impl == "pallas":
+        from dafne_tpu.ops.pallas.quad_nms import (
+            TILE, greedy_scan, suppression_matrix,
+        )
 
-    def body(i, keep):
-        row = suppress_mat[i] & keep[i]
-        return keep & ~row
+        pad = (-n) % TILE
+        pc = jnp.pad(_as_ccw_rows(s_corners), ((0, pad), (0, 0)))
+        # padded slots get a unique sentinel class so they never interact
+        pk = jnp.pad(s_classes, ((0, pad),), constant_values=-1)
+        pv = jnp.pad(s_valid, ((0, pad),))
+        suppress = suppression_matrix(pc, pk, iou_threshold)
+        keep_sorted = greedy_scan(suppress, pv)[:n]
+    else:
+        iou = quad_iou_matrix(s_corners, s_corners)  # [N, N]
+        same_class = s_classes[:, None] == s_classes[None, :]
+        suppress_mat = (iou > iou_threshold) & same_class
+        # only earlier (higher-score) kept boxes can suppress later ones
+        later = jnp.arange(n)[None, :] > jnp.arange(n)[:, None]
+        suppress_mat = suppress_mat & later
 
-    keep_sorted = jax.lax.fori_loop(0, n, body, s_valid)
+        def body(i, keep):
+            row = suppress_mat[i] & keep[i]
+            return keep & ~row
+
+        keep_sorted = jax.lax.fori_loop(0, n, body, s_valid)
+
     # scatter back to input order
     keep = jnp.zeros((n,), bool).at[order].set(keep_sorted)
     return keep
 
 
 def rotated_nms_batched(corners, scores, classes, valid, iou_threshold,
-                        class_merge: Sequence[Tuple[int, int]] = ((5, 4),)):
+                        class_merge: Sequence[Tuple[int, int]] = ((5, 4),),
+                        impl: str = "auto"):
     """vmap over a batch: corners [B,N,8], scores [B,N], ... -> keep [B,N]."""
     return jax.vmap(
-        lambda c, s, cl, v: rotated_nms(c, s, cl, v, iou_threshold, class_merge)
+        lambda c, s, cl, v: rotated_nms(
+            c, s, cl, v, iou_threshold, class_merge, impl
+        )
     )(corners, scores, classes, valid)

@@ -1,0 +1,164 @@
+"""Pallas TPU kernel: rotated-quad NMS suppression matrix.
+
+The TPU-native replacement for the reference's `poly_gpu_nms` CUDA kernel
+(dafne/modeling/nms/nms.py:6,91 -> DOTA_devkit poly_nms_gpu).  Like the CUDA
+kernel, NMS is split into
+  (A) a massively parallel pairwise phase — here a Pallas kernel computing
+      the boolean suppression matrix S[i, j] = "higher-scored box i would
+      suppress box j" over [TILE, TILE] blocks, with all intermediates kept
+      in VMEM/registers (the XLA version streams ~30 [chunk, N] f32 buffers
+      through HBM), and
+  (B) a cheap sequential greedy scan over rows (lax.fori_loop), identical to
+      the bitmask walk the CUDA wrapper does.
+
+Exact IoU uses the same boundary line-integral formulation as
+dafne_tpu.geometry.iou.quad_intersection_area_clip (Cyrus-Beck parametric
+clipping; no sorts, no gathers, pure VPU) — the two implementations are
+cross-checked in tests.
+
+Layout notes: row-block operands arrive as [TILE, 8]/[TILE, 1]; column-block
+operands arrive PRE-TRANSPOSED as [8, TILE]/[1, TILE] so every per-vertex
+coordinate slices directly into the broadcast shape (no in-kernel
+transposes).  Blocks strictly below the diagonal are skipped (only j > i can
+be suppressed).  Inputs must be pre-sorted by descending score.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE = 128
+
+
+def _edge_integral_block(ax, ay, bx, by, qx, qy, eps, include_boundary):
+    """Contribution of edge a->b ([TI, 1] coords) clipped to quad q (lists of
+    4 [1, TJ] coords).  Returns [TI, TJ].  Broadcast math only."""
+    dx = bx - ax
+    dy = by - ay
+    t_low = jnp.zeros_like(ax + qx[0])  # [TI, TJ]
+    t_high = jnp.ones_like(t_low)
+    alive = jnp.ones_like(t_low, dtype=jnp.bool_)
+    for k in range(4):
+        ex = qx[(k + 1) % 4] - qx[k]
+        ey = qy[(k + 1) % 4] - qy[k]
+        # num = cross(e, a - q_k); den = cross(e, d)
+        num = ex * (ay - qy[k]) - ey * (ax - qx[k])
+        den = ex * dy - ey * dx
+        par = jnp.abs(den) <= eps
+        ratio = -num / jnp.where(par, 1.0, den)
+        t_low = jnp.where(den > eps, jnp.maximum(t_low, ratio), t_low)
+        t_high = jnp.where(den < -eps, jnp.minimum(t_high, ratio), t_high)
+        outside = par & (num < 0)
+        if not include_boundary:
+            same_dir = (ex * dx + ey * dy) > 0
+            outside = outside | (par & (jnp.abs(num) <= eps) & same_dir)
+        alive = alive & ~outside
+    pax = ax + t_low * dx
+    pay = ay + t_low * dy
+    pbx = ax + t_high * dx
+    pby = ay + t_high * dy
+    contrib = 0.5 * (pax * pby - pay * pbx)
+    return jnp.where(alive & (t_low < t_high), contrib, 0.0)
+
+
+def _shoelace4(x, y):
+    s = x[0] * y[1] - x[1] * y[0]
+    for k in range(1, 4):
+        s = s + (x[k] * y[(k + 1) % 4] - x[(k + 1) % 4] * y[k])
+    return 0.5 * jnp.abs(s)
+
+
+def _suppress_kernel(rows_c_ref, rows_k_ref, cols_ct_ref, cols_kt_ref,
+                     out_ref, *, iou_threshold, eps):
+    """Grid (i_block, j_block) -> S block [TILE, TILE] (int8)."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j < i)
+    def _():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+
+    @pl.when(j >= i)
+    def _():
+        rows = rows_c_ref[:, :]  # [TILE, 8]
+        cols_t = cols_ct_ref[:, :]  # [8, TILE]
+        rcls = rows_k_ref[:, :]  # [TILE, 1]
+        ccls = cols_kt_ref[:, :]  # [1, TILE]
+
+        px = [rows[:, 2 * k : 2 * k + 1] for k in range(4)]  # [TILE, 1]
+        py = [rows[:, 2 * k + 1 : 2 * k + 2] for k in range(4)]
+        qx = [cols_t[2 * k : 2 * k + 1, :] for k in range(4)]  # [1, TILE]
+        qy = [cols_t[2 * k + 1 : 2 * k + 2, :] for k in range(4)]
+
+        inter = jnp.zeros((rows.shape[0], cols_t.shape[1]), jnp.float32)
+        for k in range(4):
+            inter += _edge_integral_block(
+                px[k], py[k], px[(k + 1) % 4], py[(k + 1) % 4], qx, qy, eps,
+                True,
+            )
+            inter += _edge_integral_block(
+                qx[k], qy[k], qx[(k + 1) % 4], qy[(k + 1) % 4], px, py, eps,
+                False,
+            )
+        inter = jnp.maximum(inter, 0.0)
+
+        union = _shoelace4(px, py) + _shoelace4(qx, qy) - inter
+        iou = jnp.where(
+            union == 0.0, (inter + 1.0) / (union + 1.0), inter / union
+        )
+
+        same_class = rcls == ccls  # [TILE, TILE] broadcast
+        ri = jax.lax.broadcasted_iota(jnp.int32, iou.shape, 0) + i * TILE
+        cj = jax.lax.broadcasted_iota(jnp.int32, iou.shape, 1) + j * TILE
+        suppress = (iou > iou_threshold) & same_class & (cj > ri)
+        out_ref[:, :] = suppress.astype(jnp.int8)
+
+
+def suppression_matrix(
+    corners: jnp.ndarray,  # [N, 8] f32, score-sorted desc, CCW order
+    classes: jnp.ndarray,  # [N] i32 (already class-merged)
+    iou_threshold: float,
+    eps: float = 1e-9,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """S [N, N] int8; requires N % TILE == 0 (pad outside)."""
+    n = corners.shape[0]
+    assert n % TILE == 0, n
+    n_blocks = n // TILE
+    corners = corners.astype(jnp.float32)
+    cls_col = classes.reshape(n, 1).astype(jnp.int32)
+    corners_t = corners.T  # [8, N]
+    cls_row = classes.reshape(1, n).astype(jnp.int32)
+
+    kernel = functools.partial(
+        _suppress_kernel, iou_threshold=iou_threshold, eps=eps
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n_blocks, n_blocks),
+        in_specs=[
+            pl.BlockSpec((TILE, 8), lambda i, j: (i, 0)),  # row corners
+            pl.BlockSpec((TILE, 1), lambda i, j: (i, 0)),  # row classes
+            pl.BlockSpec((8, TILE), lambda i, j: (0, j)),  # col corners (T)
+            pl.BlockSpec((1, TILE), lambda i, j: (0, j)),  # col classes (T)
+        ],
+        out_specs=pl.BlockSpec((TILE, TILE), lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((n, n), jnp.int8),
+        interpret=interpret,
+    )(corners, cls_col, corners_t, cls_row)
+
+
+def greedy_scan(suppress: jnp.ndarray, keep_init: jnp.ndarray) -> jnp.ndarray:
+    """Sequential greedy keep over the score-ordered suppression matrix."""
+    n = suppress.shape[0]
+
+    def body(i, keep):
+        row = (suppress[i] != 0) & keep[i]
+        return keep & ~row
+
+    return jax.lax.fori_loop(0, n, body, keep_init)

@@ -1,0 +1,62 @@
+"""Pallas rotated-NMS kernel vs the XLA reference path (interpret mode)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dafne_tpu.ops.nms import _as_ccw_rows, apply_class_merge, rotated_nms
+from dafne_tpu.ops.pallas.quad_nms import TILE, greedy_scan, suppression_matrix
+
+
+def _random_boxes(n, seed=0):
+    rng = np.random.RandomState(seed)
+    cx, cy = rng.uniform(0, 300, n), rng.uniform(0, 300, n)
+    w, h = rng.uniform(5, 60, n), rng.uniform(5, 40, n)
+    ang = rng.uniform(0, np.pi, n)
+    base = np.stack(
+        [np.stack([-w / 2, -h / 2], -1), np.stack([w / 2, -h / 2], -1),
+         np.stack([w / 2, h / 2], -1), np.stack([-w / 2, h / 2], -1)], 1,
+    )
+    c, s = np.cos(ang), np.sin(ang)
+    rot = np.stack([np.stack([c, s], -1), np.stack([-s, c], -1)], -2)
+    quads = np.einsum("nkc,ncd->nkd", base, rot) + np.stack([cx, cy], -1)[:, None]
+    return quads.reshape(n, 8).astype(np.float32)
+
+
+def test_pallas_suppression_matches_xla_reference():
+    n = TILE  # one tile in interpret mode keeps the test fast
+    corners = jnp.asarray(_random_boxes(n, seed=3))
+    rng = np.random.RandomState(4)
+    scores = jnp.asarray(np.sort(rng.rand(n))[::-1].copy())  # already sorted
+    classes = jnp.asarray(rng.randint(0, 4, n).astype(np.int32))
+    valid = jnp.asarray(rng.rand(n) > 0.1)
+
+    # XLA reference keep
+    keep_ref = np.asarray(
+        rotated_nms(corners, scores, classes, valid, 0.2, (), impl="xla")
+    )
+
+    sup = suppression_matrix(
+        _as_ccw_rows(corners), classes, 0.2, interpret=True
+    )
+    keep_pallas = np.asarray(greedy_scan(sup, valid))
+    np.testing.assert_array_equal(keep_pallas, keep_ref)
+
+
+def test_pallas_multitile_diagonal_skip():
+    n = 2 * TILE
+    corners = jnp.asarray(_random_boxes(n, seed=7))
+    classes = jnp.zeros(n, jnp.int32)
+    sup = np.asarray(
+        suppression_matrix(_as_ccw_rows(corners), classes, 0.3, interpret=True)
+    )
+    # strictly lower-triangle must be all zero (only j > i suppressible)
+    assert (np.tril(sup) == 0).all()
+    # symmetry of the underlying IoU: sup[i, j] implies IoU > th, so the
+    # mirrored pair must also exceed the threshold when roles are swapped
+    ij = np.argwhere(sup)
+    from dafne_tpu.utils.polyiou import iou_poly
+
+    c = np.asarray(corners, np.float64)
+    for i, j in ij[:20]:
+        assert iou_poly(c[i], c[j]) > 0.3 * 0.95
