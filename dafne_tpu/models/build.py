@@ -23,9 +23,20 @@ def build_model(cfg) -> OneStageDetector:
     assert cfg.MODEL.META_ARCHITECTURE == "OneStageDetector", (
         cfg.MODEL.META_ARCHITECTURE
     )
-    assert cfg.MODEL.BACKBONE.NAME in (
-        "build_dafne_resnet_fpn_backbone",
-    ), f"Backbone {cfg.MODEL.BACKBONE.NAME} not implemented yet"
+    # backbone registry (the Detectron2 BACKBONE registry names kept)
+    name = cfg.MODEL.BACKBONE.NAME
+    if name in ("build_dafne_resnet_fpn_backbone", "build_resnet_interval_backbone"):
+        kind = "resnet_lpf" if cfg.MODEL.BACKBONE.ANTI_ALIAS else "resnet"
+    elif name in ("build_resnet_lpf_backbone",):
+        kind = "resnet_lpf"
+    elif name in ("build_dafne_dla_fpn_backbone", "build_dla_fpn_backbone"):
+        kind = "dla"
+    elif name in ("build_vovnet_fpn_backbone", "build_fcos_vovnet_fpn_backbone"):
+        kind = "vovnet"
+    elif name in ("build_mnv2_backbone", "build_mobilenetv2_fpn_backbone"):
+        kind = "mobilenet"
+    else:
+        raise ValueError(f"Unknown MODEL.BACKBONE.NAME: {name}")
 
     # TPU.COMPUTE_DTYPE is the single source of truth for compute precision
     # (default bfloat16 — the TPU-native analog of the reference's AMP flag,
@@ -36,6 +47,9 @@ def build_model(cfg) -> OneStageDetector:
     return OneStageDetector(
         pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
         pixel_std=tuple(cfg.MODEL.PIXEL_STD),
+        backbone_kind=kind,
+        vovnet_spec=cfg.MODEL.VOVNET.CONV_BODY,
+        dla_body=cfg.MODEL.DLA.CONV_BODY,
         depth=cfg.MODEL.RESNETS.DEPTH,
         resnet_out_features=tuple(cfg.MODEL.RESNETS.OUT_FEATURES),
         freeze_at=cfg.MODEL.BACKBONE.FREEZE_AT,
@@ -60,6 +74,7 @@ def build_model(cfg) -> OneStageDetector:
         merge_corner_center_pred=d.MERGE_CORNER_CENTER_PRED,
         centerness=d.CENTERNESS,
         ctr_on_reg=d.CTR_ON_REG,
+        use_deformable=d.USE_DEFORMABLE,
         top_module_dim=(cfg.MODEL.TOP_MODULE.DIM if cfg.MODEL.TOP_MODULE.NAME == "conv" else 0),
         dtype=dtype,
     )

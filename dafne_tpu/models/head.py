@@ -54,17 +54,28 @@ def _head_conv(features, name, dtype):
 
 
 class Tower(nn.Module):
-    """num_convs x (3x3 conv -> norm -> ReLU); weights shared across levels."""
+    """num_convs x (3x3 conv -> norm -> ReLU); weights shared across levels.
+
+    With `use_deformable`, the LAST conv is a deformable 3x3 with learned
+    offsets (dafne.py:310-348 tower construction)."""
 
     num_convs: int
     channels: int
     norm: str = "GN"
+    use_deformable: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         for i in range(self.num_convs):
-            x = _head_conv(self.channels, f"conv{i}", self.dtype)(x)
+            if self.use_deformable and i == self.num_convs - 1:
+                from dafne_tpu.layers.deform_conv import DeformConv2d
+
+                x = DeformConv2d(
+                    self.channels, dtype=self.dtype, name=f"conv{i}"
+                )(x)
+            else:
+                x = _head_conv(self.channels, f"conv{i}", self.dtype)(x)
             if self.norm == "GN":
                 x = nn.GroupNorm(
                     num_groups=self.channels // 8,
@@ -108,6 +119,7 @@ class DAFNeHead(nn.Module):
     merge_corner_center_pred: bool = False
     centerness: str = "oriented"  # none | plain | oriented
     ctr_on_reg: bool = True
+    use_deformable: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -126,11 +138,23 @@ class DAFNeHead(nn.Module):
             and not self.merge_corner_center_pred
         )
 
-        share_tower = Tower(self.num_share_convs, C, self.norm, self.dtype, name="share_tower")
-        cls_tower = Tower(self.num_cls_convs, C, self.norm, self.dtype, name="cls_tower")
-        corners_tower = Tower(self.num_box_convs, C, self.norm, self.dtype, name="corners_tower")
+        share_tower = Tower(
+            self.num_share_convs, C, self.norm, False, self.dtype,
+            name="share_tower",
+        )
+        cls_tower = Tower(
+            self.num_cls_convs, C, self.norm, self.use_deformable, self.dtype,
+            name="cls_tower",
+        )
+        corners_tower = Tower(
+            self.num_box_convs, C, self.norm, self.use_deformable, self.dtype,
+            name="corners_tower",
+        )
         center_tower = (
-            Tower(self.num_box_convs, C, self.norm, self.dtype, name="center_tower")
+            Tower(
+                self.num_box_convs, C, self.norm, self.use_deformable,
+                self.dtype, name="center_tower",
+            )
             if has_center_tower
             else None
         )

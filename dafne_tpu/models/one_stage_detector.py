@@ -33,6 +33,9 @@ class OneStageDetector(nn.Module):
     pixel_mean: Sequence[float] = (123.675, 116.28, 103.53)
     pixel_std: Sequence[float] = (1.0, 1.0, 1.0)
     # backbone
+    backbone_kind: str = "resnet"  # resnet | resnet_lpf | dla | vovnet | mobilenet
+    vovnet_spec: str = "V-39-eSE"
+    dla_body: str = "DLA34"
     depth: int = 50
     resnet_out_features: Sequence[str] = ("res3", "res4", "res5")
     freeze_at: int = 2
@@ -59,6 +62,7 @@ class OneStageDetector(nn.Module):
     merge_corner_center_pred: bool = False
     centerness: str = "oriented"
     ctr_on_reg: bool = True
+    use_deformable: bool = False
     top_module_dim: int = 0  # >0 enables the TOP_MODULE conv
     dtype: Any = jnp.float32
 
@@ -69,18 +73,45 @@ class OneStageDetector(nn.Module):
         std = jnp.asarray(self.pixel_std, dtype=self.dtype)
         x = (x - mean) / std
 
-        backbone = ResNet(
-            depth=self.depth,
-            out_features=self.resnet_out_features,
-            freeze_at=self.freeze_at,
-            num_groups=self.num_groups,
-            width_per_group=self.width_per_group,
-            stem_out_channels=self.stem_out_channels,
-            res2_out_channels=self.res2_out_channels,
-            stride_in_1x1=self.stride_in_1x1,
-            dtype=self.dtype,
-            name="backbone",
-        )
+        if self.backbone_kind == "resnet":
+            backbone = ResNet(
+                depth=self.depth,
+                out_features=self.resnet_out_features,
+                freeze_at=self.freeze_at,
+                num_groups=self.num_groups,
+                width_per_group=self.width_per_group,
+                stem_out_channels=self.stem_out_channels,
+                res2_out_channels=self.res2_out_channels,
+                stride_in_1x1=self.stride_in_1x1,
+                dtype=self.dtype,
+                name="backbone",
+            )
+        elif self.backbone_kind == "resnet_lpf":
+            from dafne_tpu.models.backbones import ResNetLPF
+
+            backbone = ResNetLPF(
+                depth=self.depth,
+                out_features=self.resnet_out_features,
+                freeze_at=self.freeze_at,
+                dtype=self.dtype,
+                name="backbone",
+            )
+        elif self.backbone_kind == "dla":
+            from dafne_tpu.models.backbones import DLA
+
+            backbone = DLA(dtype=self.dtype, name="backbone")
+        elif self.backbone_kind == "vovnet":
+            from dafne_tpu.models.backbones import VoVNet
+
+            backbone = VoVNet(
+                spec=self.vovnet_spec, dtype=self.dtype, name="backbone"
+            )
+        elif self.backbone_kind == "mobilenet":
+            from dafne_tpu.models.backbones import MobileNetV2
+
+            backbone = MobileNetV2(dtype=self.dtype, name="backbone")
+        else:
+            raise ValueError(f"Unknown backbone kind {self.backbone_kind}")
         feats = backbone(x)
 
         top_block = {2: "p6p7", 1: "p6", 0: ""}[self.top_levels]
@@ -109,6 +140,7 @@ class OneStageDetector(nn.Module):
             merge_corner_center_pred=self.merge_corner_center_pred,
             centerness=self.centerness,
             ctr_on_reg=self.ctr_on_reg,
+            use_deformable=self.use_deformable,
             dtype=self.dtype,
             name="head",
         )

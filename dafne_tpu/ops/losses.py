@@ -85,6 +85,35 @@ def bce_with_logits(logits, targets):
     )
 
 
+def rotated_iou_loss(pred, target, kind: str = "iou", eps: float = 1e-7):
+    """Differentiable exact rotated-IoU loss between corner 8-vectors.
+
+    The reference reserved MODEL.DAFNE.LOC_LOSS_TYPE iou/giou
+    (defaults.py:107) but its CUDA path was dead code
+    (box_intersection_2d.py); the boundary line-integral intersection
+    (geometry.iou.quad_intersection_area_clip) is differentiable almost
+    everywhere, so the loss works natively here.  kind "iou": 1 - IoU;
+    "giou": 1 - GIoU with the enclosing axis-aligned box.
+    """
+    from dafne_tpu.geometry.iou import quad_intersection_area_clip
+    from dafne_tpu.geometry.quads import enclosing_hbox, quad_area
+
+    inter = quad_intersection_area_clip(pred, target)
+    union = quad_area(pred) + quad_area(target) - inter
+    iou = inter / jnp.maximum(union, eps)
+    if kind == "iou":
+        return 1.0 - iou
+    hb_p = enclosing_hbox(pred)
+    hb_t = enclosing_hbox(target)
+    x0 = jnp.minimum(hb_p[..., 0], hb_t[..., 0])
+    y0 = jnp.minimum(hb_p[..., 1], hb_t[..., 1])
+    x1 = jnp.maximum(hb_p[..., 2], hb_t[..., 2])
+    y1 = jnp.maximum(hb_p[..., 3], hb_t[..., 3])
+    hull = jnp.maximum(x1 - x0, 0) * jnp.maximum(y1 - y0, 0)
+    giou = iou - (hull - union) / jnp.maximum(hull, eps)
+    return 1.0 - giou
+
+
 @dataclasses.dataclass(frozen=True)
 class LossSpec:
     num_classes: int = 15
@@ -93,6 +122,7 @@ class LossSpec:
     smooth_l1_beta: float = 1.0 / 9.0
     loss_modulation: bool = True
     loss_logspace: bool = True
+    loc_loss_type: str = "smoothl1"  # smoothl1 | iou | giou
     sort_corners: bool = True
     centerness: str = "oriented"  # none | plain | oriented
     centerness_alpha: float = 5.0
@@ -113,6 +143,7 @@ class LossSpec:
             smooth_l1_beta=d.LOSS_SMOOTH_L1_BETA,
             loss_modulation=d.ENABLE_LOSS_MODULATION,
             loss_logspace=d.ENABLE_LOSS_LOG,
+            loc_loss_type=d.LOC_LOSS_TYPE,
             sort_corners=d.SORT_CORNERS,
             centerness=d.CENTERNESS,
             centerness_alpha=d.CENTERNESS_ALPHA,
@@ -176,7 +207,9 @@ def dafne_losses(
 
     # -- corners ----------------------------------------------------------------
     cp = sort_quadrilateral(corners_pred) if spec.sort_corners else corners_pred
-    if spec.loss_modulation:
+    if spec.loc_loss_type in ("iou", "giou"):
+        per_box = rotated_iou_loss(cp, targets["reg_corners"], spec.loc_loss_type)
+    elif spec.loss_modulation:
         per_box = modulated_eight_point_loss(
             cp, targets["reg_corners"], spec.smooth_l1_beta, spec.loss_logspace
         )
