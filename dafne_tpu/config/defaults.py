@@ -26,6 +26,8 @@ def build_defaults() -> CfgNode:
     _C.DEBUG = CfgNode()
     _C.DEBUG.OVERFIT_NUM_IMAGES = -1  # truncate datasets to N images (<0: off)
     _C.DEBUG.NAN_CHECK = True  # NaN/anomaly detection in the train loop
+    _C.DEBUG.JAX_DEBUG_NANS = False  # jax_debug_nans kernel-level tracing
+    _C.DEBUG.PROFILE_ITERS = []  # [start, stop] -> jax.profiler trace window
 
     # ---------------------------------------------------------------- MODEL
     _C.MODEL = CfgNode()
@@ -230,6 +232,7 @@ def build_defaults() -> CfgNode:
     t.PARAM_DTYPE = "float32"
     t.MAX_INSTANCES = 256  # static per-image gt padding
     t.NMS_MAX_CANDIDATES = 2048  # static NMS input size (score top-k capped)
+    t.DECODE_APPROX_TOPK = True  # lax.approx_max_k (recall 0.99) in decode
     t.IMAGE_SIZE_DIVISIBILITY = 128  # pad H, W to multiples (P7 stride)
     t.PREFETCH_DEPTH = 2  # host->device prefetch buffer
     t.DONATE_STATE = True  # donate train state buffers in the jitted step

@@ -95,7 +95,30 @@ def do_test(cfg, model, params, output_dir=None) -> Dict[str, Dict[str, float]]:
             evaluator.process_batch(batch, det)
             n_images += int(batch["batch_valid"].sum())
         dt = time.perf_counter() - t0
-        res = evaluator.evaluate()
+        from dafne_tpu.data import MetadataCatalog
+
+        meta = MetadataCatalog.get(dataset_name, {})
+        has_gt = any(r.get("annotations") for r in records)
+        if meta.get("is_test") and not has_gt:
+            # unlabeled test split: Task1 files -> cross-tile merge -> zip
+            # (dota_evaluation.py:344-351); no AP computable locally
+            res = {}
+            if out_dir:
+                task1 = os.path.join(out_dir, "task1")
+                evaluator.write_task1_files(task1)
+                if meta.get("evaluator_type") == "dota":
+                    from dafne_tpu.evaluation.result_merge import (
+                        make_submission_zip, merge_by_poly,
+                    )
+
+                    merged = os.path.join(out_dir, "task1_merged")
+                    merge_by_poly(task1, merged)
+                    zp = make_submission_zip(
+                        merged, os.path.join(out_dir, "submission.zip")
+                    )
+                    logger.info(f"wrote submission {zp}")
+        else:
+            res = evaluator.evaluate()
         logger.info(
             f"eval {dataset_name}: {n_images} images in {dt:.1f}s "
             f"({n_images / max(dt, 1e-9):.2f} img/s) mAP={res.get('mAP', 0):.2f}"
@@ -107,6 +130,9 @@ def do_test(cfg, model, params, output_dir=None) -> Dict[str, Dict[str, float]]:
 def do_train(cfg, model, resume: bool = False):
     output_dir = cfg.OUTPUT_DIR
     os.makedirs(output_dir, exist_ok=True)
+    if cfg.DEBUG.get("JAX_DEBUG_NANS", False):
+        # checkify-style NaN tracing for the geometry/loss kernels (§5.2)
+        jax.config.update("jax_debug_nans", True)
     mesh = mesh_from_config(cfg)
     n_dev = int(np.prod(mesh.devices.shape))
     cfg = auto_scale_config(cfg, n_dev) if cfg.SOLVER.REFERENCE_WORLD_SIZE else cfg
@@ -152,10 +178,17 @@ def do_train(cfg, model, resume: bool = False):
     eval_period = cfg.TEST.EVAL_PERIOD
     ckpt_period = cfg.SOLVER.CHECKPOINT_PERIOD
 
+    profile_window = list(cfg.DEBUG.PROFILE_ITERS or [])
+
     data_iter = iter(loader)
     metrics = None
     t_data = 0.0
     for it in range(start_iter, max_iter):
+        if profile_window and it == profile_window[0]:
+            jax.profiler.start_trace(os.path.join(output_dir, "profile"))
+        if profile_window and it == profile_window[1]:
+            jax.profiler.stop_trace()
+            logger.info(f"profiler trace written to {output_dir}/profile")
         t0 = time.perf_counter()
         batch = next(data_iter)
         device_batch = {

@@ -43,6 +43,7 @@ class DecodeSpec:
     stride_norm: bool = True
     nms_max_candidates: int = 2048
     class_merge: Tuple[Tuple[int, int], ...] = ((5, 4),)
+    approx_topk: bool = True  # lax.approx_max_k for the per-level top-k
 
     @classmethod
     def from_config(cls, cfg, train: bool = False) -> "DecodeSpec":
@@ -60,6 +61,7 @@ class DecodeSpec:
             sort_corners=d.SORT_CORNERS,
             stride_norm=d.ENABLE_FPN_STRIDE_NORM,
             nms_max_candidates=cfg.TPU.NMS_MAX_CANDIDATES,
+            approx_topk=cfg.TPU.get("DECODE_APPROX_TOPK", True),
         )
 
 
@@ -89,7 +91,15 @@ def decode_single_level(
         cls_prob = jnp.sqrt(cls_prob * ctr_prob[:, :, None])
 
     flat_scores = jnp.where(candidate, cls_prob, 0.0).reshape(n, hw * c)
-    top_scores, top_idx = jax.lax.top_k(flat_scores, k)  # [N, k]
+    if spec.approx_topk and hw * c > 4 * k:
+        # TPU-optimized partitioned top-k (recall >= 0.99 of the true set;
+        # the post-NMS top-1000 cushions the tail). Exact path via
+        # TPU.DECODE_APPROX_TOPK False.
+        top_scores, top_idx = jax.lax.approx_max_k(
+            flat_scores, k, recall_target=0.99
+        )
+    else:
+        top_scores, top_idx = jax.lax.top_k(flat_scores, k)  # [N, k]
     loc_idx = top_idx // c
     cls_idx = (top_idx % c).astype(jnp.int32)
     valid = top_scores > 0.0

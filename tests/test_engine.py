@@ -1,0 +1,159 @@
+"""Engine integration tests: checkpoint resume, TTA inference, eval loop."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dafne_tpu.config import get_cfg
+
+
+def tiny_cfg(tmp_out, **overrides):
+    cfg = get_cfg()
+    cfg.merge_from_file("configs/synthetic/base.yaml")
+    cfg.OUTPUT_DIR = str(tmp_out)
+    cfg.MODEL.RESNETS.DEPTH = 18
+    cfg.MODEL.RESNETS.RES2_OUT_CHANNELS = 16
+    cfg.MODEL.RESNETS.STEM_OUT_CHANNELS = 8
+    cfg.MODEL.FPN.OUT_CHANNELS = 16
+    cfg.MODEL.DAFNE.NUM_CLS_CONVS = 1
+    cfg.MODEL.DAFNE.NUM_BOX_CONVS = 1
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.SOLVER.IMS_PER_BATCH = 2
+    cfg.DATALOADER.NUM_WORKERS = 0
+    for k, v in overrides.items():
+        cfg.merge_from_list([k, str(v)])
+    return cfg
+
+
+def test_checkpoint_save_restore_roundtrip(tmp_path):
+    from dafne_tpu.engine.checkpoint import Checkpointer
+    from dafne_tpu.engine.train_loop import build_state
+    from dafne_tpu.models import build_model
+
+    cfg = tiny_cfg(tmp_path)
+    model = build_model(cfg)
+    state, tx, _ = build_state(cfg, model, (128, 128))
+    state = state.replace(step=jnp.asarray(7, jnp.int32))
+
+    ck = Checkpointer(str(tmp_path))
+    ck.save(7, state)
+    ck.wait()
+
+    state2, _, _ = build_state(cfg, model, (128, 128), rng=jax.random.PRNGKey(1))
+    # different init -> params differ before restore
+    a = np.asarray(state.params["head"]["cls_tower"]["conv0"]["kernel"])
+    b = np.asarray(state2.params["head"]["cls_tower"]["conv0"]["kernel"])
+    assert np.abs(a - b).max() > 0
+
+    restored, step = ck.restore(state2)
+    assert step == 7
+    np.testing.assert_allclose(
+        np.asarray(restored.params["head"]["cls_tower"]["conv0"]["kernel"]), a
+    )
+
+
+def test_resume_or_load_bootstrap_and_resume(tmp_path):
+    from dafne_tpu.engine.checkpoint import Checkpointer
+    from dafne_tpu.engine.train_loop import build_state
+    from dafne_tpu.models import build_model
+
+    cfg = tiny_cfg(tmp_path)
+    model = build_model(cfg)
+    state, _, _ = build_state(cfg, model, (128, 128))
+    ck = Checkpointer(str(tmp_path))
+    # nothing to resume -> stays at 0
+    s, step = ck.resume_or_load(state, cfg, resume=True)
+    assert step == 0
+    ck.save(3, state.replace(step=jnp.asarray(3, jnp.int32)))
+    ck.wait()
+    s, step = ck.resume_or_load(state, cfg, resume=True)
+    assert step == 3
+    assert int(s.step) == 3
+    # resume=False ignores the checkpoint
+    s, step = ck.resume_or_load(state, cfg, resume=False)
+    assert step == 0
+
+
+def test_tta_augs_and_inference(tmp_path):
+    from dafne_tpu.data import register_all_datasets
+    from dafne_tpu.data.datasets.synthetic import load_synthetic
+    from dafne_tpu.engine.tta import build_tta_augs, tta_inference_single
+    from dafne_tpu.engine.trainer import make_eval_step
+    from dafne_tpu.models import build_model
+
+    cfg = tiny_cfg(
+        tmp_path,
+        **{
+            "TEST.AUG.MIN_SIZES": "(128, 256)",
+            "TEST.AUG.MAX_SIZE": "256",
+            "TEST.AUG.HFLIP": "True",
+            "TEST.AUG.VFLIP": "True",
+        },
+    )
+    augs = build_tta_augs(cfg, 256, 256)
+    assert len(augs) == 6  # 2 scales x {id, hflip, vflip}
+
+    model = build_model(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 3)))["params"]
+    eval_step = jax.jit(make_eval_step(model, cfg, (256, 256)))
+    rec = load_synthetic("val", 1)[0]
+    det = tta_inference_single(cfg, eval_step, params, rec["image"], (256, 256))
+    assert det["corners"].shape[1] == 8
+    assert (det["scores"] >= 0).all()
+    # corners land in original image coordinate range
+    if len(det["corners"]):
+        assert det["corners"].min() > -300 and det["corners"].max() < 600
+
+
+def test_tta_rotation_set(tmp_path):
+    from dafne_tpu.engine.tta import build_tta_augs
+
+    cfg = tiny_cfg(
+        tmp_path,
+        **{
+            "TEST.AUG.MIN_SIZES": "(128,)",
+            "TEST.AUG.ROTATION_ANGLES": "(0, 90)",
+            "TEST.AUG.HFLIP": "True",
+        },
+    )
+    augs = build_tta_augs(cfg, 256, 256)
+    # 1 scale x (base + 2 rotations x {plain, hflip}) = 5
+    assert len(augs) == 5
+
+
+def test_dota_test_split_writes_submission(tmp_path):
+    """Unlabeled is_test datasets produce Task1 + merged zip, no AP."""
+    from dafne_tpu.data.registry import DatasetCatalog, MetadataCatalog
+    from dafne_tpu.engine.train_loop import do_test
+    from dafne_tpu.models import build_model
+
+    records = [
+        {"image": np.zeros((128, 128, 3), np.uint8),
+         "image_id": "P9__1__0___0", "height": 128, "width": 128,
+         "annotations": []}
+    ]
+    name = "fake_dota_test"
+    if name not in DatasetCatalog:
+        DatasetCatalog.register(name, lambda: records)
+    MetadataCatalog[name] = {
+        "evaluator_type": "dota", "is_test": True,
+        "thing_classes": ["plane", "ship"],
+    }
+    cfg = tiny_cfg(
+        tmp_path,
+        **{
+            "DATASETS.TEST": f"('{name}',)",
+            "MODEL.DAFNE.NUM_CLASSES": "2",
+            "INPUT.MIN_SIZE_TEST": "128",
+            "INPUT.MAX_SIZE_TEST": "128",
+        },
+    )
+    model = build_model(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)))["params"]
+    do_test(cfg, model, params, str(tmp_path))
+    out = tmp_path / "inference" / name
+    assert (out / "task1" / "Task1_plane.txt").exists()
+    assert (out / "submission.zip").exists()
