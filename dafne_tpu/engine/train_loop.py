@@ -68,7 +68,9 @@ def build_state(cfg, model, image_hw, rng=None):
     return state, tx, schedule
 
 
-def do_test(cfg, model, params, output_dir=None) -> Dict[str, Dict[str, float]]:
+def do_test(
+    cfg, model, params, output_dir=None, step: int = 0
+) -> Dict[str, Dict[str, float]]:
     """Evaluate on every cfg.DATASETS.TEST dataset (plain_train_net.py:316-336)."""
     results = {}
     pad_hw = pad_target_hw(cfg, train=False)
@@ -119,12 +121,31 @@ def do_test(cfg, model, params, output_dir=None) -> Dict[str, Dict[str, float]]:
                     logger.info(f"wrote submission {zp}")
         else:
             res = evaluator.evaluate()
+            if out_dir:
+                evaluator.render_samples(cfg.TEST.NUM_PRED_VIS)
         logger.info(
             f"eval {dataset_name}: {n_images} images in {dt:.1f}s "
             f"({n_images / max(dt, 1e-9):.2f} img/s) mAP={res.get('mAP', 0):.2f}"
         )
         results[dataset_name] = res
+        if output_dir and res:
+            save_test_results(output_dir, dataset_name, step, res)
     return results
+
+
+def save_test_results(output_dir, dataset_name, step, res):
+    """Append per-iteration AP rows to a CSV (save_test_results,
+    plain_train_net.py:360-374)."""
+    import csv
+
+    path = os.path.join(output_dir, "test_results.csv")
+    exists = os.path.exists(path)
+    with open(path, "a") as f:
+        w = csv.writer(f)
+        if not exists:
+            w.writerow(["iteration", "dataset", "metric", "value"])
+        for k, v in sorted(res.items()):
+            w.writerow([step, dataset_name, k, f"{v:.4f}"])
 
 
 def do_train(cfg, model, resume: bool = False):
@@ -213,7 +234,7 @@ def do_train(cfg, model, resume: bool = False):
         if ckpt_period and (it + 1) % ckpt_period == 0:
             checkpointer.save(it + 1, jax.device_get(state))
         if eval_period and (it + 1) % eval_period == 0 and (it + 1) != max_iter:
-            do_test(cfg, model, state.params, output_dir)
+            do_test(cfg, model, state.params, output_dir, step=it + 1)
 
     checkpointer.save(max_iter, jax.device_get(state))
     checkpointer.wait()

@@ -162,7 +162,77 @@ class RotatedDetectionEvaluator:
                     w.writerows(self.scores_overlap)
             except Exception:
                 pass
+            self._write_pr_curves()
         return results
+
+    def _write_pr_curves(self):
+        """Per-class precision-recall PNGs (dota_evaluation.py:167-177)."""
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except Exception:
+            return
+        out = os.path.join(self.output_dir, "pr_curves")
+        os.makedirs(out, exist_ok=True)
+        for name, (rec, prec) in self.pr_curves.items():
+            if len(rec) == 0:
+                continue
+            fig, ax = plt.subplots(figsize=(4, 4))
+            ax.plot(rec, prec)
+            ax.set_xlabel("recall")
+            ax.set_ylabel("precision")
+            ax.set_xlim(0, 1)
+            ax.set_ylim(0, 1.02)
+            ax.set_title(name)
+            fig.tight_layout()
+            fig.savefig(os.path.join(out, f"pr_{name}.png"), dpi=100)
+            plt.close(fig)
+
+    def render_samples(self, num_images: int = 20, score_thresh: float = 0.3):
+        """Prediction-vs-GT renderings (dota_evaluation.py:231-305): GT in
+        green, predictions colored by class, saved under output_dir/vis."""
+        if not self.output_dir:
+            return []
+        try:
+            import cv2
+        except Exception:
+            return []
+        from dafne_tpu.data.mapper import read_image
+
+        out = os.path.join(self.output_dir, "vis")
+        os.makedirs(out, exist_ok=True)
+        by_id = {str(r["image_id"]): r for r in self.records}
+        paths = []
+        for image_id in list(self._preds)[:num_images]:
+            rec = by_id.get(image_id)
+            if rec is None:
+                continue
+            try:
+                img = (
+                    rec["image"].copy()
+                    if "image" in rec
+                    else read_image(rec["file_name"])
+                )
+            except Exception:
+                continue
+            for a in rec.get("annotations", []):
+                pts = np.asarray(a["corners"]).reshape(4, 2).astype(np.int32)
+                cv2.polylines(img, [pts], True, (0, 255, 0), 2)
+            p = self._preds[image_id]
+            for box, s, c in zip(p["corners"], p["scores"], p["classes"]):
+                if s < score_thresh:
+                    continue
+                pts = np.asarray(box).reshape(4, 2).astype(np.int32)
+                color = (
+                    int(37 * (c + 1) % 255), int(91 * (c + 3) % 255), 255,
+                )
+                cv2.polylines(img, [pts], True, color, 2)
+            dst = os.path.join(out, f"{image_id}.png")
+            cv2.imwrite(dst, img)
+            paths.append(dst)
+        return paths
 
 
 def build_evaluator(cfg, dataset_name: str, records: List[dict], output_dir=None):
