@@ -139,6 +139,7 @@ class DataLoader:
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
+        empty_exc = queue.Empty  # bind now: module globals may be torn down
         try:
             while True:
                 yield q.get()
@@ -147,7 +148,7 @@ class DataLoader:
             try:  # unblock the producer if it is waiting on a full queue
                 while True:
                     q.get_nowait()
-            except queue.Empty:
+            except empty_exc:
                 pass
 
     def _eval_iter(self):

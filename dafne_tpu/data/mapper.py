@@ -24,30 +24,45 @@ from dafne_tpu.data import transforms as T
 
 
 def _sort_quad_np(corners: np.ndarray) -> np.ndarray:
-    """NumPy mirror of geometry.quads.sort_quadrilateral for the host path."""
-    out = np.empty_like(corners)
-    for i, c in enumerate(corners.reshape(-1, 4, 2)):
-        left = int(np.argmin(c[:, 0]))
-        p1 = c[left]
-        rem = np.delete(c, left, axis=0)
-        p3, others = None, None
-        for j in range(3):
-            o = np.delete(rem, j, axis=0)
-            l = np.cross(rem[j] - p1, o[0] - p1)
-            r = np.cross(rem[j] - p1, o[1] - p1)
-            if l * r < 0:
-                p3, others = rem[j], o
-                break
-        if p3 is None:
-            p3, others = rem[0], rem[1:]
-        ca = np.cross(p3 - p1, others[0] - p1)
-        cb = np.cross(p3 - p1, others[1] - p1)
-        if ca > 0 or (ca <= 0 and cb <= 0):
-            p2, p4 = others[0], others[1]
-        else:
-            p2, p4 = others[1], others[0]
-        out.reshape(-1, 4, 2)[i] = [p1, p2, p3, p4]
-    return out
+    """Vectorized NumPy mirror of geometry.quads.sort_quadrilateral (same
+    batched formulation, no per-quad Python loop — the host hot path)."""
+    c = corners.reshape(-1, 4, 2)
+    n = c.shape[0]
+    if n == 0:
+        return corners
+    ar4 = np.arange(4)
+    left_idx = np.argmin(c[:, :, 0], axis=1)
+    p1 = c[np.arange(n), left_idx]
+    keep = ar4[None, :] != left_idx[:, None]
+    rem_idx = np.sort(np.where(keep, ar4[None, :], 99), axis=1)[:, :3]
+    rem = np.take_along_axis(c, rem_idx[:, :, None], axis=1)  # [N, 3, 2]
+
+    v = rem - p1[:, None, :]
+
+    def cr(a, b):
+        return a[:, 0] * b[:, 1] - a[:, 1] * b[:, 0]
+
+    conds = np.stack(
+        [
+            cr(v[:, 0], v[:, 1]) * cr(v[:, 0], v[:, 2]) < 0,
+            cr(v[:, 1], v[:, 0]) * cr(v[:, 1], v[:, 2]) < 0,
+            cr(v[:, 2], v[:, 0]) * cr(v[:, 2], v[:, 1]) < 0,
+        ],
+        axis=1,
+    )
+    first = np.argmax(conds, axis=1)
+    p3 = rem[np.arange(n), first]
+    a_idx = np.where(first == 0, 1, 0)
+    b_idx = np.where(first == 2, 1, 2)
+    sa = rem[np.arange(n), a_idx]
+    sb = rem[np.arange(n), b_idx]
+    diag = p3 - p1
+    ca = cr(diag, sa - p1)
+    cb = cr(diag, sb - p1)
+    take_a = (ca > 0) | ((ca <= 0) & (cb <= 0))
+    p2 = np.where(take_a[:, None], sa, sb)
+    p4 = np.where(take_a[:, None], sb, sa)
+    return np.stack([p1, p2, p3, p4], axis=1).reshape(-1, 8)
 
 
 def _shoelace(corners: np.ndarray) -> np.ndarray:
@@ -138,7 +153,11 @@ class DatasetMapper:
             gt_difficult[:n] = difficult[:n]
 
         rh, rw = img.shape[:2]
-        canvas = np.zeros((self.pad_h, self.pad_w, 3), np.float32)
+        # uint8 to the device: 4x less host copying and PCIe/ICI transfer
+        # than float32; the model normalizes on-chip (OneStageDetector).
+        if img.dtype != np.uint8:
+            img = np.clip(img, 0, 255).astype(np.uint8)
+        canvas = np.zeros((self.pad_h, self.pad_w, 3), np.uint8)
         canvas[:rh, :rw] = img[: self.pad_h, : self.pad_w]
 
         return {
