@@ -15,6 +15,7 @@ Reference behavior contracts:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -78,15 +79,22 @@ def sort_quadrilateral(corners):
     c = corners.reshape(-1, 4, 2)
     n = c.shape[0]
 
+    # ---- decision phase (index computation, no gradient needed) ----------
+    # All gathers live under stop_gradient: the permutation CHOICE is a
+    # discrete decision; differentiating through value-gathers here would
+    # emit scatter-adds in the backward pass (~70 ms/step on v5e for the
+    # dense 21k-location loss). The values themselves are permuted below
+    # with a one-hot matmul whose backward is another tiny matmul.
+    cd = jax.lax.stop_gradient(c)
     ar4 = jnp.arange(4)
 
-    left_idx = jnp.argmin(c[:, :, 0], axis=1)  # first min index on ties
-    p1 = jnp.take_along_axis(c, left_idx[:, None, None], axis=1)[:, 0]  # [N,2]
+    left_idx = jnp.argmin(cd[:, :, 0], axis=1)  # first min index on ties
+    p1 = jnp.take_along_axis(cd, left_idx[:, None, None], axis=1)[:, 0]
 
     # Remaining 3 vertices in original relative order.
     keep = ar4[None, :] != left_idx[:, None]  # [N,4]
     rem_idx = jnp.sort(jnp.where(keep, ar4[None, :], 99), axis=1)[:, :3]
-    rem = jnp.take_along_axis(c, rem_idx[:, :, None], axis=1)  # [N,3,2]
+    rem = jnp.take_along_axis(cd, rem_idx[:, :, None], axis=1)  # [N,3,2]
 
     # Diagonal detection: candidate i is the diagonal partner if the other
     # two lie on opposite sides of line (p1, rem_i).
@@ -110,10 +118,17 @@ def sort_quadrilateral(corners):
     ca = _cross2d(diag, sa - p1)
     cb = _cross2d(diag, sb - p1)
     take_a = (ca > 0.0) | ((ca <= 0.0) & (cb <= 0.0))
-    p2 = jnp.where(take_a[:, None], sa, sb)
-    p4 = jnp.where(take_a[:, None], sb, sa)
 
-    out = jnp.stack([p1, p2, p3, p4], axis=1).reshape(n, 8)
+    idx_p3 = jnp.take_along_axis(rem_idx, first[:, None], axis=1)[:, 0]
+    idx_a = jnp.take_along_axis(rem_idx, a_idx[:, None], axis=1)[:, 0]
+    idx_b = jnp.take_along_axis(rem_idx, b_idx[:, None], axis=1)[:, 0]
+    idx_p2 = jnp.where(take_a, idx_a, idx_b)
+    idx_p4 = jnp.where(take_a, idx_b, idx_a)
+
+    # ---- value phase: permutation as a one-hot matmul --------------------
+    perm = jnp.stack([left_idx, idx_p2, idx_p3, idx_p4], axis=1)  # [N, 4]
+    p = jax.nn.one_hot(perm, 4, dtype=c.dtype)  # [N, 4out, 4in]
+    out = jnp.einsum("nij,njc->nic", p, c).reshape(n, 8)
     return out.reshape(shape)
 
 
