@@ -49,6 +49,7 @@ class AssignmentSpec:
     enable_level_size_filtering: bool = True
     enable_fpn_stride_norm: bool = True
     gt_chunk: int = 32
+    impl: str = "auto"  # "pallas" (TPU kernel), "xla" (scan), "auto"
 
     @classmethod
     def from_config(cls, cfg) -> "AssignmentSpec":
@@ -137,6 +138,26 @@ def assign_targets_single(
     """
     k = locations.shape[0]
     m = gt_corners.shape[0]
+
+    impl = spec.impl
+    if impl == "auto":
+        try:
+            impl = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+        except Exception:
+            impl = "xla"
+
+    if impl == "pallas":
+        from dafne_tpu.ops.pallas.assign import assign_argmin
+
+        min_area, min_idx = assign_argmin(
+            locations, loc_strides, size_ranges, gt_corners, gt_hbox,
+            gt_area, gt_valid, spec,
+        )
+        return _finalize_assignment(
+            locations, loc_strides, gt_corners, gt_hbox, gt_classes,
+            min_area, min_idx, spec,
+        )
+
     chunk = min(spec.gt_chunk, m)
     # pad gt count to a multiple of chunk
     pad = (-m) % chunk
@@ -204,13 +225,26 @@ def assign_targets_single(
     (min_area, min_idx), _ = jax.lax.scan(
         scan_body, init, jnp.arange(n_chunks, dtype=jnp.int32)
     )
+    return _finalize_assignment(
+        locations, loc_strides, gt_corners, gt_hbox, gt_classes,
+        min_area, min_idx, spec,
+    )
 
+
+def _finalize_assignment(
+    locations, loc_strides, gt_corners, gt_hbox, gt_classes, min_area,
+    min_idx, spec,
+):
+    """labels + per-location target vectors for the winning gt."""
+    m = gt_classes.shape[0]
     background = min_area >= INF
-    labels = jnp.where(background, spec.num_classes, gt_classes[jnp.clip(min_idx, 0, m - 1)])
+    labels = jnp.where(
+        background, spec.num_classes, gt_classes[jnp.clip(min_idx, 0, m - 1)]
+    )
     gt_inds = jnp.where(background, -1, min_idx)
 
     # Gather the winning gt per location and compute its targets only.
-    sel = jnp.clip(min_idx, 0, m - 1)
+    sel = jnp.clip(min_idx, 0, gt_corners.shape[0] - 1)
     sel_corners = gt_corners[sel]  # [K, 8]
     sel_hbox = gt_hbox[sel]  # [K, 4]
 
