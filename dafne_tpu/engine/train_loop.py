@@ -167,9 +167,12 @@ def do_train(cfg, model, resume: bool = False):
     checkpointer = Checkpointer(output_dir)
     state, start_iter = checkpointer.resume_or_load(state, cfg, resume)
 
-    # replicate state over the mesh, shard batches along "data"
+    # replicate state over the mesh; shard batches along "data" (+ images
+    # along "spatial" when the mesh defines one — §5.7 spatial parallelism)
+    from dafne_tpu.parallel import shard_batch
+
     state = jax.device_put(state, replicated_sharding(mesh))
-    data_sharding = batch_sharding(mesh)
+    spatial = "spatial" if "spatial" in mesh.axis_names else None
 
     step_fn = jax.jit(
         make_train_step(model, cfg, pad_hw, tx, schedule),
@@ -212,10 +215,9 @@ def do_train(cfg, model, resume: bool = False):
             logger.info(f"profiler trace written to {output_dir}/profile")
         t0 = time.perf_counter()
         batch = next(data_iter)
-        device_batch = {
-            k: jax.device_put(jnp.asarray(batch[k]), data_sharding)
-            for k in _DEVICE_KEYS
-        }
+        device_batch = shard_batch(
+            {k: batch[k] for k in _DEVICE_KEYS}, mesh, spatial_axis=spatial
+        )
         t_data += time.perf_counter() - t0
         state, metrics = step_fn(state, device_batch)
 

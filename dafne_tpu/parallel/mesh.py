@@ -53,10 +53,33 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch: Dict[str, Any], mesh: Mesh, axis: str = "data"):
-    """Device_put a host batch with the leading dim sharded over `axis`."""
+def image_sharding(mesh: Mesh, data_axis: str = "data",
+                   spatial_axis: Optional[str] = None) -> NamedSharding:
+    """[N, H, W, C] sharding: batch over `data_axis`, H over `spatial_axis`.
+
+    Spatial sharding is this domain's context-parallelism (SURVEY.md §5.7):
+    the conv feature maps of very large tiles are partitioned along H and
+    XLA GSPMD inserts the halo exchanges for every conv/pool window — the
+    hand-written ring/halo pass of a CUDA framework comes for free from the
+    partitioner.  The program stays the single global-view jitted step.
+    """
+    if spatial_axis and spatial_axis in mesh.axis_names:
+        return NamedSharding(mesh, P(data_axis, spatial_axis))
+    return NamedSharding(mesh, P(data_axis))
+
+
+def shard_batch(batch: Dict[str, Any], mesh: Mesh, axis: str = "data",
+                spatial_axis: Optional[str] = None):
+    """Device_put a host batch: leading dim over `axis`; images additionally
+    over `spatial_axis` (H) when the mesh has one."""
     sh = batch_sharding(mesh, axis)
-    return jax.tree.map(
-        lambda x: jax.device_put(x, sh) if hasattr(x, "ndim") and x.ndim >= 1 else x,
-        batch,
-    )
+    img_sh = image_sharding(mesh, axis, spatial_axis)
+    out = {}
+    for k, v in batch.items():
+        if not hasattr(v, "ndim") or v.ndim < 1:
+            out[k] = v
+        elif k == "image" and v.ndim == 4:
+            out[k] = jax.device_put(v, img_sh)
+        else:
+            out[k] = jax.device_put(v, sh)
+    return out
