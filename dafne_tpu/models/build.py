@@ -25,8 +25,11 @@ def build_model(cfg) -> OneStageDetector:
     )
     # backbone registry (the Detectron2 BACKBONE registry names kept)
     name = cfg.MODEL.BACKBONE.NAME
+    deform_interval = 0
     if name in ("build_dafne_resnet_fpn_backbone", "build_resnet_interval_backbone"):
         kind = "resnet_lpf" if cfg.MODEL.BACKBONE.ANTI_ALIAS else "resnet"
+        if name == "build_resnet_interval_backbone":
+            deform_interval = max(1, cfg.MODEL.RESNETS.DEFORM_INTERVAL)
     elif name in ("build_resnet_lpf_backbone",):
         kind = "resnet_lpf"
     elif name in ("build_dafne_dla_fpn_backbone", "build_dla_fpn_backbone"):
@@ -58,6 +61,7 @@ def build_model(cfg) -> OneStageDetector:
         stem_out_channels=cfg.MODEL.RESNETS.STEM_OUT_CHANNELS,
         res2_out_channels=cfg.MODEL.RESNETS.RES2_OUT_CHANNELS,
         stride_in_1x1=cfg.MODEL.RESNETS.STRIDE_IN_1X1,
+        deform_interval=deform_interval,
         fpn_out_channels=cfg.MODEL.FPN.OUT_CHANNELS,
         top_levels=d.TOP_LEVELS,
         num_classes=d.NUM_CLASSES,

@@ -44,6 +44,7 @@ class OneStageDetector(nn.Module):
     stem_out_channels: int = 64
     res2_out_channels: int = 256
     stride_in_1x1: bool = True
+    deform_interval: int = 0
     # fpn
     fpn_out_channels: int = 256
     top_levels: int = 2  # 2 -> P6P7, 1 -> P6, 0 -> none
@@ -83,6 +84,7 @@ class OneStageDetector(nn.Module):
                 stem_out_channels=self.stem_out_channels,
                 res2_out_channels=self.res2_out_channels,
                 stride_in_1x1=self.stride_in_1x1,
+                deform_interval=self.deform_interval,
                 dtype=self.dtype,
                 name="backbone",
             )

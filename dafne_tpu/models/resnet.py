@@ -83,6 +83,7 @@ class BottleneckBlock(nn.Module):
     stride: int = 1
     stride_in_1x1: bool = True
     dilation: int = 1
+    deform: bool = False  # 3x3 conv -> deformable (resnet_interval.py:12-116)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -100,16 +101,23 @@ class BottleneckBlock(nn.Module):
         y = _conv(self.bottleneck_channels, 1, s1, name="conv1", dtype=self.dtype)(x)
         y = FrozenBN(self.bottleneck_channels, dtype=self.dtype, name="conv1_norm")(y)
         y = nn.relu(y)
-        y = nn.Conv(
-            self.bottleneck_channels,
-            (3, 3),
-            strides=(s3, s3),
-            padding=[(self.dilation, self.dilation)] * 2,
-            kernel_dilation=(self.dilation, self.dilation),
-            use_bias=False,
-            name="conv2",
-            dtype=self.dtype,
-        )(y)
+        if self.deform and s3 == 1 and self.dilation == 1:
+            from dafne_tpu.layers.deform_conv import DeformConv2d
+
+            y = DeformConv2d(
+                self.bottleneck_channels, dtype=self.dtype, name="conv2"
+            )(y)
+        else:
+            y = nn.Conv(
+                self.bottleneck_channels,
+                (3, 3),
+                strides=(s3, s3),
+                padding=[(self.dilation, self.dilation)] * 2,
+                kernel_dilation=(self.dilation, self.dilation),
+                use_bias=False,
+                name="conv2",
+                dtype=self.dtype,
+            )(y)
         y = FrozenBN(self.bottleneck_channels, dtype=self.dtype, name="conv2_norm")(y)
         y = nn.relu(y)
         y = _conv(self.out_channels, 1, 1, name="conv3", dtype=self.dtype)(y)
@@ -158,6 +166,7 @@ class ResNet(nn.Module):
     stride_in_1x1: bool = True
     res5_dilation: int = 1
     freeze_at: int = 2
+    deform_interval: int = 0  # >0: every k-th bottleneck uses a deformable 3x3
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -199,12 +208,18 @@ class ResNet(nn.Module):
             for b in range(n_blocks):
                 stride = first_stride if b == 0 else 1
                 if use_bottleneck:
+                    deform = (
+                        self.deform_interval > 0
+                        and (b % self.deform_interval == 0)
+                        and stage_idx >= 3
+                    )
                     y = BottleneckBlock(
                         out_channels=out_channels,
                         bottleneck_channels=bottleneck_channels,
                         stride=stride,
                         stride_in_1x1=self.stride_in_1x1,
                         dilation=dilation,
+                        deform=deform,
                         dtype=self.dtype,
                         name=f"{name}_{b}",
                     )(y)
