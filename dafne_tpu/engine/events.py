@@ -34,12 +34,15 @@ class TerminalWriter(EventWriter):
         self.max_iter = max_iter
         self.times = deque(maxlen=window)
         self.last = None
+        self.last_step = None
 
     def write(self, step, metrics):
         now = time.perf_counter()
-        if self.last is not None:
-            self.times.append(now - self.last)
+        if self.last is not None and step > self.last_step:
+            # per-iteration time even when writes happen every N iters
+            self.times.append((now - self.last) / (step - self.last_step))
         self.last = now
+        self.last_step = step
         eta = ""
         if self.times:
             per_it = sum(self.times) / len(self.times)

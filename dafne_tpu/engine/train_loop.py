@@ -204,7 +204,35 @@ def do_train(cfg, model, resume: bool = False):
 
     profile_window = list(cfg.DEBUG.PROFILE_ITERS or [])
 
-    data_iter = iter(loader)
+    def device_batches():
+        """Host batch -> sharded device arrays, prefetched one step ahead so
+        the (potentially slow) host->HBM transfer overlaps the running step."""
+        import queue as _queue
+        import threading as _threading
+
+        q: "_queue.Queue" = _queue.Queue(maxsize=cfg.TPU.PREFETCH_DEPTH)
+        stop = _threading.Event()
+
+        def producer():
+            for batch in loader:
+                if stop.is_set():
+                    return
+                q.put(
+                    shard_batch(
+                        {k: batch[k] for k in _DEVICE_KEYS}, mesh,
+                        spatial_axis=spatial,
+                    )
+                )
+
+        t = _threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                yield q.get()
+        finally:
+            stop.set()
+
+    data_iter = device_batches()
     metrics = None
     t_data = 0.0
     for it in range(start_iter, max_iter):
@@ -214,10 +242,7 @@ def do_train(cfg, model, resume: bool = False):
             jax.profiler.stop_trace()
             logger.info(f"profiler trace written to {output_dir}/profile")
         t0 = time.perf_counter()
-        batch = next(data_iter)
-        device_batch = shard_batch(
-            {k: batch[k] for k in _DEVICE_KEYS}, mesh, spatial_axis=spatial
-        )
+        device_batch = next(data_iter)
         t_data += time.perf_counter() - t0
         state, metrics = step_fn(state, device_batch)
 

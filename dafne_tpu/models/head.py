@@ -66,7 +66,7 @@ class Tower(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, level: int = 0):
         for i in range(self.num_convs):
             if self.use_deformable and i == self.num_convs - 1:
                 from dafne_tpu.layers.deform_conv import DeformConv2d
@@ -84,12 +84,14 @@ class Tower(nn.Module):
                     dtype=self.dtype,
                 )(x)
             elif self.norm in ("BN", "SyncBN"):
-                # TPU note: with a single jitted SPMD step, plain BatchNorm
-                # stats already aggregate per-device batch; "Sync" semantics
-                # (cross-device) would need an axis_name. The shipped configs
-                # all use GN; BN here is a frozen-affine approximation.
+                # Per-LEVEL norm instances like the reference's ModuleListDial
+                # (dafne.py:56-66,330-343): convs share weights across levels,
+                # norms do not. Stat-free layer-norm approximation of BN
+                # (batch-stats plumbing is round-2 work, see PARITY.md);
+                # "Sync" is moot — one SPMD program sees the global batch.
                 x = nn.GroupNorm(
-                    num_groups=1, epsilon=1e-5, name=f"norm{i}", dtype=self.dtype
+                    num_groups=1, epsilon=1e-5,
+                    name=f"norm{i}_level{level}", dtype=self.dtype,
                 )(x)
             elif self.norm not in ("", "none", None):
                 raise ValueError(f"Unsupported head norm: {self.norm}")
@@ -189,15 +191,15 @@ class DAFNeHead(nn.Module):
 
         out = {"logits": [], "corners": [], "center": [], "ctrness": []}
         for level, feat in enumerate(features):
-            feat = share_tower(feat)
-            ct = cls_tower(feat)
+            feat = share_tower(feat, level)
+            ct = cls_tower(feat, level)
 
             reg_center = None
             if self.corner_prediction == "direct":
-                bt = corners_tower(feat)
+                bt = corners_tower(feat, level)
                 reg_corners = corners_pred(bt)
             elif self.corner_prediction == "iterative":
-                bt = corners_tower(feat)
+                bt = corners_tower(feat, level)
                 cs = []
                 inp = bt
                 for p in iter_preds:
@@ -207,23 +209,23 @@ class DAFNeHead(nn.Module):
                 reg_corners = jnp.concatenate(cs, axis=-1)
             elif self.corner_prediction == "center-to-corner":
                 if self.merge_corner_center_pred:
-                    bt = corners_tower(feat)
+                    bt = corners_tower(feat, level)
                     reg_center = center_pred(bt)
                     delta = corners_pred(bt)
                 else:
-                    cent = center_tower(feat)
-                    bt = corners_tower(cent if self.corner_tower_on_center_tower else feat)
+                    cent = center_tower(feat, level)
+                    bt = corners_tower(cent if self.corner_tower_on_center_tower else feat, level)
                     reg_center = center_pred(cent)
                     delta = corners_pred(bt)
                 reg_corners = jnp.tile(reg_center, (1, 1, 1, 4)) + delta
             elif self.corner_prediction == "offset":
-                bt = corners_tower(feat)
+                bt = corners_tower(feat, level)
                 base = jnp.asarray(
                     [-2.0, 2.0, 2.0, 2.0, 2.0, -2.0, -2.0, -2.0], dtype=self.dtype
                 )
                 reg_corners = base + corners_pred(bt)
             else:  # angle
-                bt = corners_tower(feat)
+                bt = corners_tower(feat, level)
                 xywha = xywha_pred(bt)
                 x0, y0, w, h, alpha = jnp.split(xywha, 5, axis=-1)
                 c0 = jnp.concatenate([x0, y0], -1)

@@ -108,7 +108,13 @@ def decode_single_level(
     sel_reg = jnp.take_along_axis(reg, loc_idx[:, :, None], axis=1)  # [N, k, 8]
     if spec.stride_norm:
         sel_reg = sel_reg * stride
-    sel_loc = locations[loc_idx]  # [N, k, 2]
+    # locations recovered arithmetically from the flat index (cheaper than a
+    # constant-table gather, and keeps the 170k-location table out of the
+    # program): x = col*stride + stride//2, y = row*stride + stride//2
+    w = logits.shape[2]
+    lx = (loc_idx % w).astype(jnp.float32) * stride + stride // 2
+    ly = (loc_idx // w).astype(jnp.float32) * stride + stride // 2
+    sel_loc = jnp.stack([lx, ly], axis=-1)  # [N, k, 2]
     polys = sel_reg + jnp.tile(sel_loc, (1, 1, 4))
     if spec.sort_corners:
         polys = sort_quadrilateral(polys)
