@@ -64,6 +64,7 @@ class OneStageDetector(nn.Module):
     centerness: str = "oriented"
     ctr_on_reg: bool = True
     use_deformable: bool = False
+    remat_backbone: bool = False  # jax.checkpoint over the trunk (memory/FLOP trade)
     top_module_dim: int = 0  # >0 enables the TOP_MODULE conv
     dtype: Any = jnp.float32
 
@@ -75,7 +76,7 @@ class OneStageDetector(nn.Module):
         x = (x - mean) / std
 
         if self.backbone_kind == "resnet":
-            backbone = ResNet(
+            cls, kwargs = ResNet, dict(
                 depth=self.depth,
                 out_features=self.resnet_out_features,
                 freeze_at=self.freeze_at,
@@ -85,35 +86,34 @@ class OneStageDetector(nn.Module):
                 res2_out_channels=self.res2_out_channels,
                 stride_in_1x1=self.stride_in_1x1,
                 deform_interval=self.deform_interval,
-                dtype=self.dtype,
-                name="backbone",
             )
         elif self.backbone_kind == "resnet_lpf":
             from dafne_tpu.models.backbones import ResNetLPF
 
-            backbone = ResNetLPF(
+            cls, kwargs = ResNetLPF, dict(
                 depth=self.depth,
                 out_features=self.resnet_out_features,
                 freeze_at=self.freeze_at,
-                dtype=self.dtype,
-                name="backbone",
             )
         elif self.backbone_kind == "dla":
             from dafne_tpu.models.backbones import DLA
 
-            backbone = DLA(dtype=self.dtype, name="backbone")
+            cls, kwargs = DLA, {}
         elif self.backbone_kind == "vovnet":
             from dafne_tpu.models.backbones import VoVNet
 
-            backbone = VoVNet(
-                spec=self.vovnet_spec, dtype=self.dtype, name="backbone"
-            )
+            cls, kwargs = VoVNet, dict(spec=self.vovnet_spec)
         elif self.backbone_kind == "mobilenet":
             from dafne_tpu.models.backbones import MobileNetV2
 
-            backbone = MobileNetV2(dtype=self.dtype, name="backbone")
+            cls, kwargs = MobileNetV2, {}
         else:
             raise ValueError(f"Unknown backbone kind {self.backbone_kind}")
+        if self.remat_backbone:
+            # rematerialize trunk activations in the backward pass
+            # (TPU.REMAT_BACKBONE: trade recompute FLOPs for HBM)
+            cls = nn.remat(cls)
+        backbone = cls(**kwargs, dtype=self.dtype, name="backbone")
         feats = backbone(x)
 
         top_block = {2: "p6p7", 1: "p6", 0: ""}[self.top_levels]
