@@ -50,15 +50,19 @@ def main():
     )()
     eval_step = jax.jit(make_eval_step(model, cfg, (HW, HW)))
 
-    out = None
+    def checksum(out):
+        # Force execution by fetching a device-reduced scalar: on the axon
+        # tunnel runtime, block_until_ready can return before the step has
+        # actually executed, which silently turns the loop into a no-op.
+        return float(jnp.sum(out["scores"]) + jnp.sum(out["corners"]))
+
     for _ in range(WARMUP):
-        out = eval_step(params, images[0])
-    jax.block_until_ready(out)
+        checksum(eval_step(params, images[0]))
 
     t0 = time.perf_counter()
+    acc = 0.0
     for i in range(ITERS):
-        out = eval_step(params, images[i % len(images)])
-    jax.block_until_ready(out)
+        acc += checksum(eval_step(params, images[i % len(images)]))
     dt = time.perf_counter() - t0
 
     img_s = BATCH * ITERS / dt
