@@ -50,19 +50,29 @@ def main():
     )()
     eval_step = jax.jit(make_eval_step(model, cfg, (HW, HW)))
 
-    def checksum(out):
-        # Force execution by fetching a device-reduced scalar: on the axon
-        # tunnel runtime, block_until_ready can return before the step has
-        # actually executed, which silently turns the loop into a no-op.
-        return float(jnp.sum(out["scores"]) + jnp.sum(out["corners"]))
+    # Measurement notes (axon tunnel runtime):
+    #  - block_until_ready can return before execution -> a final fetch is
+    #    the only reliable completion barrier;
+    #  - every dispatch/fetch pays a ~31 ms relay round-trip, so steps are
+    #    CHAINED through an on-device scalar (each step's input depends on
+    #    the previous step's output): no step can be skipped, execution
+    #    serializes on-device, dispatch latency overlaps, and ONE final
+    #    fetch closes the pipeline.
+    def step_fn(params, image, carry):
+        out = eval_step(params, image + carry * 0.0)
+        return jnp.sum(out["scores"]) + jnp.sum(out["corners"])
 
+    step = jax.jit(step_fn)
+    carry = jnp.zeros((), jnp.float32)
     for _ in range(WARMUP):
-        checksum(eval_step(params, images[0]))
+        carry = step(params, images[0], carry)
+    float(carry)  # barrier
 
     t0 = time.perf_counter()
-    acc = 0.0
+    carry = jnp.zeros((), jnp.float32)
     for i in range(ITERS):
-        acc += checksum(eval_step(params, images[i % len(images)]))
+        carry = step(params, images[i % len(images)], carry)
+    float(carry)  # single completion barrier for the whole chain
     dt = time.perf_counter() - t0
 
     img_s = BATCH * ITERS / dt
