@@ -87,15 +87,25 @@ def do_test(
         evaluator = build_evaluator(cfg, dataset_name, records, out_dir)
         t0 = time.perf_counter()
         n_images = 0
+        # one-batch pipelining: dispatch batch i+1 before fetching batch i
+        pending = None
         for batch in loader:
             det = eval_step(
                 params,
                 jnp.asarray(batch["image"]),
                 jnp.asarray(batch["scale_xy"]),
             )
-            det = {k: np.asarray(v) for k, v in det.items()}
-            evaluator.process_batch(batch, det)
-            n_images += int(batch["batch_valid"].sum())
+            if pending is not None:
+                pb, pd = pending
+                pd = {k: np.asarray(v) for k, v in pd.items()}
+                evaluator.process_batch(pb, pd)
+                n_images += int(pb["batch_valid"].sum())
+            pending = (batch, det)
+        if pending is not None:
+            pb, pd = pending
+            pd = {k: np.asarray(v) for k, v in pd.items()}
+            evaluator.process_batch(pb, pd)
+            n_images += int(pb["batch_valid"].sum())
         dt = time.perf_counter() - t0
         from dafne_tpu.data import MetadataCatalog
 
