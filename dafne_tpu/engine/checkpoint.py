@@ -34,6 +34,8 @@ class Checkpointer:
             "opt_state": state.opt_state,
             "step": np.asarray(state.step),
         }
+        if getattr(state, "batch_stats", None) is not None:
+            payload["batch_stats"] = state.batch_stats
         self.manager.save(step, args=ocp.args.StandardSave(payload))
 
     def wait(self):
@@ -52,6 +54,8 @@ class Checkpointer:
             "opt_state": state.opt_state,
             "step": np.asarray(state.step),
         }
+        if getattr(state, "batch_stats", None) is not None:
+            template["batch_stats"] = state.batch_stats
         restored = self.manager.restore(
             step, args=ocp.args.StandardRestore(template)
         )
@@ -60,6 +64,8 @@ class Checkpointer:
             opt_state=restored["opt_state"],
             step=jax.numpy.asarray(restored["step"]),
         )
+        if "batch_stats" in restored:
+            new_state = new_state.replace(batch_stats=restored["batch_stats"])
         return new_state, int(restored["step"])
 
     def resume_or_load(self, state, cfg, resume: bool):

@@ -59,17 +59,18 @@ def build_state(cfg, model, image_hw, rng=None):
 
     rng = rng if rng is not None else jrandom.PRNGKey(max(cfg.SEED, 0))
     h, w = image_hw
-    params = model.init(rng, jnp.zeros((1, h, w, 3)))["params"]
+    variables = model.init(rng, jnp.zeros((1, h, w, 3)))
+    params = variables["params"]
     tx, schedule = build_optimizer(cfg, params)
     state = TrainState(
         step=jnp.zeros((), jnp.int32), params=params, opt_state=tx.init(params),
-        tx=tx,
+        tx=tx, batch_stats=variables.get("batch_stats"),
     )
     return state, tx, schedule
 
 
 def do_test(
-    cfg, model, params, output_dir=None, step: int = 0
+    cfg, model, params, output_dir=None, step: int = 0, batch_stats=None
 ) -> Dict[str, Dict[str, float]]:
     """Evaluate on every cfg.DATASETS.TEST dataset (plain_train_net.py:316-336)."""
     results = {}
@@ -94,6 +95,7 @@ def do_test(
                 params,
                 jnp.asarray(batch["image"]),
                 jnp.asarray(batch["scale_xy"]),
+                batch_stats,
             )
             if pending is not None:
                 pb, pd = pending
@@ -271,7 +273,8 @@ def do_train(cfg, model, resume: bool = False):
         if ckpt_period and (it + 1) % ckpt_period == 0:
             checkpointer.save(it + 1, jax.device_get(state))
         if eval_period and (it + 1) % eval_period == 0 and (it + 1) != max_iter:
-            do_test(cfg, model, state.params, output_dir, step=it + 1)
+            do_test(cfg, model, state.params, output_dir, step=it + 1,
+                    batch_stats=state.batch_stats)
 
     checkpointer.save(max_iter, jax.device_get(state))
     checkpointer.wait()

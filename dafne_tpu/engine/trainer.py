@@ -41,6 +41,7 @@ class TrainState(struct.PyTreeNode):
     params: Any
     opt_state: Any
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    batch_stats: Any = None  # BatchNorm running stats (None unless NORM=BN)
 
     def apply_gradients(self, grads):
         updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
@@ -66,10 +67,26 @@ def make_location_tables(image_hw, spec: AssignmentSpec):
     return locs, jnp.concatenate(locs, axis=0), loc_strides, size_ranges
 
 
-def compute_losses(model, params, batch, assign_spec, loss_spec, location_tables):
-    """Pure loss computation used by both train and eval-loss paths."""
+def compute_losses(model, params, batch, assign_spec, loss_spec,
+                   location_tables, batch_stats=None, train=False):
+    """Pure loss computation used by both train and eval-loss paths.
+
+    Returns ((losses, new_batch_stats), head_out); new_batch_stats is None
+    unless the model carries BatchNorm running stats and train=True."""
     locs_list, locations, loc_strides, size_ranges = location_tables
-    out = model.apply({"params": params}, batch["image"])
+    variables = {"params": params}
+    new_stats = None
+    if batch_stats is not None:
+        variables["batch_stats"] = batch_stats
+        if train:
+            out, mutated = model.apply(
+                variables, batch["image"], train=True, mutable=["batch_stats"]
+            )
+            new_stats = mutated["batch_stats"]
+        else:
+            out = model.apply(variables, batch["image"])
+    else:
+        out = model.apply(variables, batch["image"], train=train)
     num_classes = loss_spec.num_classes
 
     logits = flatten_levels(out["logits"], num_classes)
@@ -92,7 +109,8 @@ def compute_losses(model, params, batch, assign_spec, loss_spec, location_tables
         batch["gt_valid"],
         assign_spec,
     )
-    return dafne_losses(logits, corners, center, ctrness, targets, loss_spec), out
+    losses = dafne_losses(logits, corners, center, ctrness, targets, loss_spec)
+    return (losses, new_stats), out
 
 
 def make_train_step(model, cfg, image_hw: Tuple[int, int], tx, schedule=None):
@@ -103,19 +121,22 @@ def make_train_step(model, cfg, image_hw: Tuple[int, int], tx, schedule=None):
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
         def loss_fn(params):
-            losses, _ = compute_losses(
-                model, params, batch, assign_spec, loss_spec, tables
+            (losses, new_stats), _ = compute_losses(
+                model, params, batch, assign_spec, loss_spec, tables,
+                batch_stats=state.batch_stats, train=True,
             )
-            return losses["loss/total"], losses
+            return losses["loss/total"], (losses, new_stats)
 
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
-        )
+        (loss, (metrics, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
         metrics = dict(metrics)
         metrics["loss_is_finite"] = jnp.isfinite(loss)
         if schedule is not None:
             metrics["lr"] = schedule(state.step)
         new_state = state.apply_gradients(grads)
+        if new_stats is not None:
+            new_state = new_state.replace(batch_stats=new_stats)
         return new_state, metrics
 
     return train_step
@@ -127,8 +148,12 @@ def make_eval_step(model, cfg, image_hw: Tuple[int, int]):
     decode_spec = DecodeSpec.from_config(cfg, train=False)
     locs_list, *_ = make_location_tables(image_hw, assign_spec)
 
-    def eval_step(params, images, scale_xy: Optional[jnp.ndarray] = None):
-        out = model.apply({"params": params}, images)
+    def eval_step(params, images, scale_xy: Optional[jnp.ndarray] = None,
+                  batch_stats=None):
+        variables = {"params": params}
+        if batch_stats is not None:
+            variables["batch_stats"] = batch_stats
+        out = model.apply(variables, images)
         return decode_detections(out, locs_list, decode_spec, scale_xy)
 
     return eval_step
@@ -138,10 +163,12 @@ def init_state(model, cfg, image_hw, tx, rng=None) -> TrainState:
     rng = rng if rng is not None else jax.random.PRNGKey(max(cfg.SEED, 0))
     h, w = image_hw
     dummy = jnp.zeros((1, h, w, 3), jnp.float32)
-    params = model.init(rng, dummy)["params"]
+    variables = model.init(rng, dummy)
+    params = variables["params"]
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
         opt_state=tx.init(params),
         tx=tx,
+        batch_stats=variables.get("batch_stats"),
     )

@@ -66,7 +66,7 @@ class Tower(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, level: int = 0):
+    def __call__(self, x, level: int = 0, train: bool = False):
         for i in range(self.num_convs):
             if self.use_deformable and i == self.num_convs - 1:
                 from dafne_tpu.layers.deform_conv import DeformConv2d
@@ -84,14 +84,18 @@ class Tower(nn.Module):
                     dtype=self.dtype,
                 )(x)
             elif self.norm in ("BN", "SyncBN"):
-                # Per-LEVEL norm instances like the reference's ModuleListDial
-                # (dafne.py:56-66,330-343): convs share weights across levels,
-                # norms do not. Stat-free layer-norm approximation of BN
-                # (batch-stats plumbing is round-2 work, see PARITY.md);
-                # "Sync" is moot — one SPMD program sees the global batch.
-                x = nn.GroupNorm(
-                    num_groups=1, epsilon=1e-5,
-                    name=f"norm{i}_level{level}", dtype=self.dtype,
+                # Per-LEVEL BatchNorm instances like the reference's
+                # ModuleListDial (dafne.py:56-66,330-343): convs share
+                # weights across levels, norms do not. Running stats live in
+                # the "batch_stats" collection (threaded through TrainState).
+                # "Sync" semantics come for free: ONE SPMD program normalizes
+                # over the global batch.
+                x = nn.BatchNorm(
+                    use_running_average=not train,
+                    momentum=0.9,
+                    epsilon=1e-5,
+                    name=f"norm{i}_level{level}",
+                    dtype=self.dtype,
                 )(x)
             elif self.norm not in ("", "none", None):
                 raise ValueError(f"Unsupported head norm: {self.norm}")
@@ -125,7 +129,7 @@ class DAFNeHead(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, features: Sequence[jnp.ndarray]) -> Dict[str, List[jnp.ndarray]]:
+    def __call__(self, features: Sequence[jnp.ndarray], train: bool = False) -> Dict[str, List[jnp.ndarray]]:
         assert self.corner_prediction in (
             "direct",
             "iterative",
@@ -191,15 +195,15 @@ class DAFNeHead(nn.Module):
 
         out = {"logits": [], "corners": [], "center": [], "ctrness": []}
         for level, feat in enumerate(features):
-            feat = share_tower(feat, level)
-            ct = cls_tower(feat, level)
+            feat = share_tower(feat, level, train)
+            ct = cls_tower(feat, level, train)
 
             reg_center = None
             if self.corner_prediction == "direct":
-                bt = corners_tower(feat, level)
+                bt = corners_tower(feat, level, train)
                 reg_corners = corners_pred(bt)
             elif self.corner_prediction == "iterative":
-                bt = corners_tower(feat, level)
+                bt = corners_tower(feat, level, train)
                 cs = []
                 inp = bt
                 for p in iter_preds:
@@ -209,23 +213,23 @@ class DAFNeHead(nn.Module):
                 reg_corners = jnp.concatenate(cs, axis=-1)
             elif self.corner_prediction == "center-to-corner":
                 if self.merge_corner_center_pred:
-                    bt = corners_tower(feat, level)
+                    bt = corners_tower(feat, level, train)
                     reg_center = center_pred(bt)
                     delta = corners_pred(bt)
                 else:
-                    cent = center_tower(feat, level)
-                    bt = corners_tower(cent if self.corner_tower_on_center_tower else feat, level)
+                    cent = center_tower(feat, level, train)
+                    bt = corners_tower(cent if self.corner_tower_on_center_tower else feat, level, train)
                     reg_center = center_pred(cent)
                     delta = corners_pred(bt)
                 reg_corners = jnp.tile(reg_center, (1, 1, 1, 4)) + delta
             elif self.corner_prediction == "offset":
-                bt = corners_tower(feat, level)
+                bt = corners_tower(feat, level, train)
                 base = jnp.asarray(
                     [-2.0, 2.0, 2.0, 2.0, 2.0, -2.0, -2.0, -2.0], dtype=self.dtype
                 )
                 reg_corners = base + corners_pred(bt)
             else:  # angle
-                bt = corners_tower(feat, level)
+                bt = corners_tower(feat, level, train)
                 xywha = xywha_pred(bt)
                 x0, y0, w, h, alpha = jnp.split(xywha, 5, axis=-1)
                 c0 = jnp.concatenate([x0, y0], -1)

@@ -69,7 +69,7 @@ class OneStageDetector(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, images: jnp.ndarray) -> Dict[str, Any]:
+    def __call__(self, images: jnp.ndarray, train: bool = False) -> Dict[str, Any]:
         x = images.astype(self.dtype)
         mean = jnp.asarray(self.pixel_mean, dtype=self.dtype)
         std = jnp.asarray(self.pixel_std, dtype=self.dtype)
@@ -146,7 +146,7 @@ class OneStageDetector(nn.Module):
             dtype=self.dtype,
             name="head",
         )
-        out = head(level_feats)
+        out = head(level_feats, train=train)
 
         if self.top_module_dim > 0:
             top_conv = nn.Conv(

@@ -157,3 +157,44 @@ def test_dota_test_split_writes_submission(tmp_path):
     out = tmp_path / "inference" / name
     assert (out / "task1" / "Task1_plane.txt").exists()
     assert (out / "submission.zip").exists()
+
+
+def test_batchnorm_stats_update_and_checkpoint(tmp_path):
+    """NORM=BN: running stats live in TrainState, update during training,
+    persist through checkpoints, and drive eval normalization."""
+    import jax.numpy as jnp
+
+    from dafne_tpu.engine.checkpoint import Checkpointer
+    from dafne_tpu.engine.optimizer import build_optimizer
+    from dafne_tpu.engine.trainer import make_train_step
+    from dafne_tpu.engine.train_loop import build_state
+    from dafne_tpu.models import build_model
+    from tests.test_model import synthetic_batch
+
+    cfg = tiny_cfg(tmp_path, **{"MODEL.DAFNE.NORM": "BN"})
+    model = build_model(cfg)
+    state, tx, sched = build_state(cfg, model, (128, 128))
+    assert state.batch_stats is not None
+    bn0 = np.asarray(
+        state.batch_stats["head"]["cls_tower"]["norm0_level0"]["mean"]
+    )
+
+    step = jax.jit(make_train_step(model, cfg, (128, 128), tx, sched))
+    batch = synthetic_batch(n=2, hw=128, num_classes=3)
+    new_state, metrics = step(state, batch)
+    bn1 = np.asarray(
+        new_state.batch_stats["head"]["cls_tower"]["norm0_level0"]["mean"]
+    )
+    assert np.abs(bn1 - bn0).max() > 0  # stats moved
+    assert bool(metrics["loss_is_finite"])
+
+    ck = Checkpointer(str(tmp_path))
+    ck.save(1, jax.device_get(new_state))
+    ck.wait()
+    restored, s = ck.restore(state)
+    np.testing.assert_allclose(
+        np.asarray(
+            restored.batch_stats["head"]["cls_tower"]["norm0_level0"]["mean"]
+        ),
+        bn1,
+    )

@@ -108,7 +108,7 @@ def test_data_parallel_loss_matches_single_device():
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)))["params"]
 
     f = jax.jit(
-        lambda p, b: compute_losses(model, p, b, aspec, lspec, tables)[0]["loss/total"]
+        lambda p, b: compute_losses(model, p, b, aspec, lspec, tables)[0][0]["loss/total"]
     )
     single = float(f(params, batch))
 

@@ -69,7 +69,8 @@ def main(argv=None):
             state, step = Checkpointer(cfg.OUTPUT_DIR).resume_or_load(
                 state, cfg, resume=True
             )
-            results = do_test(cfg, model, state.params, cfg.OUTPUT_DIR)
+            results = do_test(cfg, model, state.params, cfg.OUTPUT_DIR,
+                              batch_stats=state.batch_stats)
             if cfg.TEST.AUG.ENABLED:
                 from dafne_tpu.engine.tta import do_test_with_tta
 
@@ -80,7 +81,8 @@ def main(argv=None):
             return results
 
         state = do_train(cfg, model, resume=args.resume)
-        results = do_test(cfg, model, state.params, cfg.OUTPUT_DIR)
+        results = do_test(cfg, model, state.params, cfg.OUTPUT_DIR,
+                          batch_stats=state.batch_stats)
         notify("train_done", cfg, results)
         return results
     except Exception:
