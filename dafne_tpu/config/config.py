@@ -54,6 +54,11 @@ class CfgNode(dict):
             value = CfgNode(value)
         super().__setitem__(name, value)
 
+    # -- pickling (dict-subclass pickling bypasses __init__, losing _frozen;
+    # grain/multiprocessing workers need round-trippable configs) -----------
+    def __reduce__(self):
+        return (_rebuild_cfg, (self.to_dict(), self.is_frozen()))
+
     # -- freezing ------------------------------------------------------------
     def freeze(self) -> "CfgNode":
         object.__setattr__(self, "_frozen", True)
@@ -136,6 +141,13 @@ class CfgNode(dict):
     def dump_to_file(self, path: str) -> None:
         with open(path, "w") as f:
             f.write(self.dump())
+
+
+def _rebuild_cfg(data: Dict[str, Any], frozen: bool) -> "CfgNode":
+    node = CfgNode(data)
+    if frozen:
+        node.freeze()
+    return node
 
 
 def _decode_value(value: Any, old: Any) -> Any:

@@ -176,6 +176,7 @@ def build_defaults() -> CfgNode:
     # ------------------------------------------------------------ DATALOADER
     _C.DATALOADER = CfgNode()
     _C.DATALOADER.NUM_WORKERS = 4
+    _C.DATALOADER.BACKEND = "threads"  # "threads" | "grain" (multiprocess)
     _C.DATALOADER.SAMPLER_TRAIN = "TrainingSampler"
     _C.DATALOADER.REPEAT_THRESHOLD = 0.0
     _C.DATALOADER.ASPECT_RATIO_GROUPING = True

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dafne_tpu.data import DatasetCatalog, get_dataset, register_all_datasets
-from dafne_tpu.data.loader import DataLoader
+from dafne_tpu.data.grain_loader import build_data_loader
 from dafne_tpu.data.mapper import pad_target_hw
 from dafne_tpu.engine.checkpoint import Checkpointer
 from dafne_tpu.engine.events import build_writers
@@ -78,7 +78,7 @@ def do_test(
     eval_step = jax.jit(make_eval_step(model, cfg, pad_hw))
     for dataset_name in cfg.DATASETS.TEST:
         records = get_dataset(dataset_name, cfg)
-        loader = DataLoader(
+        loader = build_data_loader(
             cfg, records, batch_size=max(1, min(8, cfg.SOLVER.IMS_PER_BATCH)),
             train=False,
         )
@@ -195,7 +195,7 @@ def do_train(cfg, model, resume: bool = False):
     train_records = []
     for name in cfg.DATASETS.TRAIN:
         train_records += get_dataset(name, cfg)
-    loader = DataLoader(
+    loader = build_data_loader(
         cfg, train_records, batch_size, train=True, seed=max(cfg.SEED, 0)
     )
     logger.info(f"train records: {len(train_records)}")

@@ -138,3 +138,39 @@ def test_repeat_factors():
     f = repeat_factors(records, threshold=0.5)
     np.testing.assert_allclose(f[:3], 1.0)
     assert f[3] == pytest.approx(np.sqrt(0.5 / 0.25))
+
+
+def test_cfgnode_pickle_roundtrip():
+    import pickle
+
+    cfg = syn_cfg()
+    cfg.freeze()
+    clone = pickle.loads(pickle.dumps(cfg))
+    assert clone.MODEL.DAFNE.NUM_CLASSES == cfg.MODEL.DAFNE.NUM_CLASSES
+    assert clone.is_frozen()
+    import pytest as _pytest
+
+    with _pytest.raises(AttributeError):
+        clone.SOLVER.BASE_LR = 1.0
+
+
+def test_grain_loader_backend():
+    from dafne_tpu.data.grain_loader import GrainDataLoader, build_data_loader
+
+    cfg = syn_cfg()
+    cfg.DATALOADER.BACKEND = "grain"
+    cfg.DATALOADER.NUM_WORKERS = 0  # in-process (spawn needs a real __main__)
+    records = load_synthetic("train", 8)
+    loader = build_data_loader(cfg, records, batch_size=4, train=True)
+    assert isinstance(loader, GrainDataLoader)
+    it = iter(loader)
+    b = next(it)
+    assert b["image"].shape == (4, 256, 256, 3)
+    assert b["gt_corners"].shape[0] == 4
+
+    # eval iteration pads the short final batch
+    ev = GrainDataLoader(cfg, load_synthetic("val", 5), 4, train=False,
+                         num_workers=0)
+    batches = list(ev)
+    assert len(batches) == 2
+    assert batches[-1]["batch_valid"].sum() == 1
