@@ -79,6 +79,7 @@ def build_model(cfg) -> OneStageDetector:
         centerness=d.CENTERNESS,
         ctr_on_reg=d.CTR_ON_REG,
         use_deformable=d.USE_DEFORMABLE,
+        use_relu=d.USE_RELU,
         remat_backbone=cfg.TPU.REMAT_BACKBONE,
         top_module_dim=(cfg.MODEL.TOP_MODULE.DIM if cfg.MODEL.TOP_MODULE.NAME == "conv" else 0),
         dtype=dtype,

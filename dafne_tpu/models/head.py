@@ -23,6 +23,7 @@ from __future__ import annotations
 import math
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 import numpy as np
@@ -38,6 +39,12 @@ def compute_locations(h: int, w: int, stride: int, dtype=jnp.float32) -> jnp.nda
     ys = jnp.arange(h, dtype=dtype) * stride + stride // 2
     x, y = jnp.meshgrid(xs, ys)  # [h, w] each
     return jnp.stack([x.reshape(-1), y.reshape(-1)], axis=1)
+
+
+def mish(x):
+    """Mish activation (dafne.py:31-34; defined by the reference as the
+    alternative tower activation behind USE_RELU)."""
+    return x * jnp.tanh(jax.nn.softplus(x))
 
 
 def _head_conv(features, name, dtype):
@@ -63,6 +70,7 @@ class Tower(nn.Module):
     channels: int
     norm: str = "GN"
     use_deformable: bool = False
+    use_relu: bool = True  # False -> Mish (MODEL.DAFNE.USE_RELU)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -99,7 +107,7 @@ class Tower(nn.Module):
                 )(x)
             elif self.norm not in ("", "none", None):
                 raise ValueError(f"Unsupported head norm: {self.norm}")
-            x = nn.relu(x)
+            x = nn.relu(x) if self.use_relu else mish(x)
         return x
 
 
@@ -126,6 +134,7 @@ class DAFNeHead(nn.Module):
     centerness: str = "oriented"  # none | plain | oriented
     ctr_on_reg: bool = True
     use_deformable: bool = False
+    use_relu: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -145,21 +154,21 @@ class DAFNeHead(nn.Module):
         )
 
         share_tower = Tower(
-            self.num_share_convs, C, self.norm, False, self.dtype,
-            name="share_tower",
+            self.num_share_convs, C, self.norm, False, self.use_relu,
+            self.dtype, name="share_tower",
         )
         cls_tower = Tower(
-            self.num_cls_convs, C, self.norm, self.use_deformable, self.dtype,
-            name="cls_tower",
+            self.num_cls_convs, C, self.norm, self.use_deformable,
+            self.use_relu, self.dtype, name="cls_tower",
         )
         corners_tower = Tower(
-            self.num_box_convs, C, self.norm, self.use_deformable, self.dtype,
-            name="corners_tower",
+            self.num_box_convs, C, self.norm, self.use_deformable,
+            self.use_relu, self.dtype, name="corners_tower",
         )
         center_tower = (
             Tower(
                 self.num_box_convs, C, self.norm, self.use_deformable,
-                self.dtype, name="center_tower",
+                self.use_relu, self.dtype, name="center_tower",
             )
             if has_center_tower
             else None

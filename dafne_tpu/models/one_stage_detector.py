@@ -64,6 +64,7 @@ class OneStageDetector(nn.Module):
     centerness: str = "oriented"
     ctr_on_reg: bool = True
     use_deformable: bool = False
+    use_relu: bool = True
     remat_backbone: bool = False  # jax.checkpoint over the trunk (memory/FLOP trade)
     top_module_dim: int = 0  # >0 enables the TOP_MODULE conv
     dtype: Any = jnp.float32
@@ -143,6 +144,7 @@ class OneStageDetector(nn.Module):
             centerness=self.centerness,
             ctr_on_reg=self.ctr_on_reg,
             use_deformable=self.use_deformable,
+            use_relu=self.use_relu,
             dtype=self.dtype,
             name="head",
         )
