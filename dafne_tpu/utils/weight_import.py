@@ -15,14 +15,68 @@ parity gaps are visible instead of silent.
 
 from __future__ import annotations
 
+import dataclasses
 import logging
 import pickle
 import re
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, List, Optional, Set, Tuple
 
 import numpy as np
 
 logger = logging.getLogger("dafne_tpu")
+
+
+@dataclasses.dataclass
+class ImportReport:
+    """Outcome of a checkpoint import: which reference tensors were consumed
+    and which target leaves were filled.  The parity gate requires
+    `unmatched == []` and `unfilled == []` for a full DAFNe checkpoint."""
+
+    used: List[str] = dataclasses.field(default_factory=list)
+    unmatched: List[str] = dataclasses.field(default_factory=list)
+    filled: Set[tuple] = dataclasses.field(default_factory=set)
+    target_paths: Set[tuple] = dataclasses.field(default_factory=set)
+
+    @property
+    def unfilled(self) -> List[tuple]:
+        return sorted(self.target_paths - self.filled)
+
+
+_C2_STAGE = {"branch2a": "conv1", "branch2b": "conv2", "branch2c": "conv3",
+             "branch1": "shortcut"}
+
+
+def convert_c2_names(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Convert Caffe2-style MSRA ImageNet pickles (the actual layout of
+    `detectron2://ImageNetPretrained/MSRA/R-50.pkl`: `conv1_w`,
+    `res_conv1_bn_s`, `res2_0_branch2a_w`, ...) to Detectron2 module names,
+    mirroring d2's `convert_basic_c2_names` for the ResNet subset."""
+    out = {}
+    for k, v in sd.items():
+        if k.startswith("fc1000") or k.startswith("pred_"):
+            continue  # classifier head, not used by detection
+        if k == "conv1_w":
+            out["stem.conv1.weight"] = v
+        elif k in ("res_conv1_bn_s", "conv1_bn_s"):
+            out["stem.conv1.norm.weight"] = v
+        elif k in ("res_conv1_bn_b", "conv1_bn_b"):
+            out["stem.conv1.norm.bias"] = v
+        else:
+            m = re.match(r"res(\d)_(\d+)_(branch\w+)_(w|bn_s|bn_b)$", k)
+            if not m:
+                out[k] = v
+                continue
+            conv = _C2_STAGE.get(m[3])
+            if conv is None:
+                out[k] = v
+                continue
+            suffix = {"w": "weight", "bn_s": "norm.weight", "bn_b": "norm.bias"}[m[4]]
+            out[f"res{m[1]}.{m[2]}.{conv}.{suffix}"] = v
+    return out
+
+
+def _looks_like_c2(sd: Dict[str, np.ndarray]) -> bool:
+    return any(re.match(r"res\d_\d+_branch", k) for k in sd) or "conv1_w" in sd
 
 
 def _load_state_dict(path: str) -> Dict[str, np.ndarray]:
@@ -124,26 +178,34 @@ def _map_key(key: str) -> Optional[Tuple[Tuple[str, ...], str]]:
     return None
 
 
-def load_reference_weights(path: str, params, strict: bool = False):
-    """Fill `params` (flax param tree) from a reference checkpoint."""
-    import jax
+def import_state_dict(
+    sd: Dict[str, np.ndarray], params, strict: bool = False
+) -> Tuple[Any, ImportReport]:
+    """Fill `params` (flax param tree) from a reference state dict.
 
-    sd = _load_state_dict(path)
+    Returns (new_params, report).  With strict=True a shape mismatch raises.
+    The parity gate checks `report.unmatched == []` and
+    `report.unfilled == []` before a real-checkpoint evaluation (a full
+    DAFNe checkpoint must fill every leaf; an ImageNet backbone pickle
+    legitimately leaves fpn/head at init).
+    """
+    if _looks_like_c2(sd):
+        sd = convert_c2_names(sd)
     flat = _flatten(params)
+    report = ImportReport(target_paths=set(flat))
     scales_updates: Dict[int, float] = {}
-    used, missed = 0, []
     for key, value in sd.items():
         mapped = _map_key(key)
         if mapped is None:
-            missed.append(key)
+            report.unmatched.append(key)
             continue
         path_t, kind = mapped
         if kind == "scale_elem":
             scales_updates[path_t[-1]] = float(np.asarray(value).reshape(()))
-            used += 1
+            report.used.append(key)
             continue
         if path_t not in flat:
-            missed.append(key)
+            report.unmatched.append(key)
             continue
         v = np.asarray(value, np.float32)
         if kind == "conv_w":
@@ -154,10 +216,11 @@ def load_reference_weights(path: str, params, strict: bool = False):
             if strict:
                 raise ValueError(msg)
             logger.warning(msg)
-            missed.append(key)
+            report.unmatched.append(key)
             continue
         flat[path_t] = v
-        used += 1
+        report.used.append(key)
+        report.filled.add(path_t)
 
     if scales_updates:
         spath = ("head", "scales")
@@ -166,14 +229,23 @@ def load_reference_weights(path: str, params, strict: bool = False):
             for i, val in scales_updates.items():
                 s[i] = val
             flat[spath] = s
+            report.filled.add(spath)
 
     logger.info(
-        f"weight import: {used}/{len(sd)} reference tensors used, "
-        f"{len(missed)} unmatched"
+        f"weight import: {len(report.used)}/{len(sd)} reference tensors used, "
+        f"{len(report.unmatched)} unmatched, {len(report.unfilled)} target "
+        f"leaves unfilled"
     )
-    if missed[:10]:
-        logger.info(f"first unmatched: {missed[:10]}")
-    return _unflatten(flat, params)
+    if report.unmatched[:10]:
+        logger.info(f"first unmatched: {report.unmatched[:10]}")
+    return _unflatten(flat, params), report
+
+
+def load_reference_weights(path: str, params, strict: bool = False):
+    """Fill `params` (flax param tree) from a reference checkpoint file."""
+    sd = _load_state_dict(path)
+    new_params, _ = import_state_dict(sd, params, strict=strict)
+    return new_params
 
 
 def _flatten(tree, prefix=()) -> Dict[tuple, np.ndarray]:
