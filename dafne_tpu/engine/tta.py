@@ -5,10 +5,13 @@ Re-design of OneStageRCNNWithTTA + DotaDatasetMapperTTA
 
 - the aug set is {TEST.AUG.MIN_SIZES multi-scale resize} x {identity, hflip,
   vflip or ROTATION_ANGLES x hflip} (tta.py:48-135)
-- every augmented copy is an AffineAug, so all copies render onto ONE padded
-  canvas size -> a single compiled eval step serves the whole set (the
-  reference instead mini-batches ragged copies through the model 3 at a
-  time, tta.py:173-197)
+- every augmented copy is an AffineAug rendered onto the smallest canvas of
+  a small SIZE-BUCKET ladder; one compiled eval step per bucket (lazy).
+  This keeps XLA shapes static without paying max-canvas FLOPs for every
+  copy (a 450px copy on the default 4000px canvas would run ~80x the
+  necessary conv work).  The per-bucket batch size scales inversely with
+  canvas area so big canvases can't OOM.  The reference instead
+  mini-batches ragged copies through the model 3 at a time (tta.py:173-197)
 - predicted corners are mapped back with the exact inverse affine
   (tta.py:236-262 equivalent) and all copies are merged with the standard
   rotated NMS + post-topk (select_over_all_levels reuse, tta.py:264-268)
@@ -62,40 +65,97 @@ def build_tta_augs(cfg, w: int, h: int) -> List[T.AffineAug]:
     return augs
 
 
+# canvas ladder for bucketed TTA eval steps; values are rounded up to the
+# configured divisibility at use.  Only buckets actually hit get compiled.
+_CANVAS_LADDER = (
+    128, 256, 384, 512, 640, 768, 896, 1024, 1280, 1536, 1792, 2048,
+    2560, 3072, 3584, 4096,
+)
+
+
+class BucketedEvalSteps:
+    """Lazily-compiled eval steps, one per canvas bucket.
+
+    `get(needed)` returns (canvas_hw, jitted_step, batch) for the smallest
+    ladder canvas that fits `needed` pixels on both sides.  Batch size
+    scales so that batch * canvas_area stays ~constant (4 x 1024^2), which
+    bounds activation memory on the largest buckets.
+    """
+
+    def __init__(self, cfg, model, max_batch: int = 8,
+                 area_budget: int = 4 * 1024 * 1024):
+        self.cfg = cfg
+        self.model = model
+        self.div = max(int(cfg.TPU.IMAGE_SIZE_DIVISIBILITY), 1)
+        self.max_size = int(-(-int(cfg.TEST.AUG.MAX_SIZE) // self.div) * self.div)
+        self.max_batch = max_batch
+        self.area_budget = area_budget
+        self._steps = {}
+
+    def _canvas_for(self, needed: int) -> int:
+        for c in _CANVAS_LADDER:
+            c = int(-(-c // self.div) * self.div)
+            if c >= needed and c <= self.max_size:
+                return c
+        # over-MAX_SIZE copies render cropped onto the max canvas, like the
+        # pre-bucketing behavior (resize already bounds them to MAX_SIZE;
+        # only exotic rotation compositions can exceed it)
+        return self.max_size
+
+    def get(self, needed_hw):
+        side = self._canvas_for(max(needed_hw))
+        if side not in self._steps:
+            batch = int(min(self.max_batch, max(1, self.area_budget // (side * side))))
+            step = jax.jit(make_eval_step(self.model, self.cfg, (side, side)))
+            self._steps[side] = (step, batch)
+            logger.info(f"TTA: compiled eval step for canvas {side} batch {batch}")
+        step, batch = self._steps[side]
+        return (side, side), step, batch
+
+
 def tta_inference_single(
-    cfg, eval_step, params, img: np.ndarray, pad_hw, batch_chunk: int = 4
+    cfg, steps: "BucketedEvalSteps", params, img: np.ndarray
 ) -> Dict[str, np.ndarray]:
     """All TTA copies of one image -> merged detections (original coords)."""
     h, w = img.shape[:2]
     augs = build_tta_augs(cfg, w, h)
-    pad_h, pad_w = pad_hw
 
-    canvases, metas = [], []
+    # group copies by the smallest canvas bucket that fits them
+    by_bucket: Dict[tuple, list] = {}
     for aug in augs:
-        warped = aug.apply_image(img)
-        canvas = np.zeros((pad_h, pad_w, 3), np.float32)
-        rh, rw = warped.shape[:2]
-        canvas[: min(rh, pad_h), : min(rw, pad_w)] = warped[:pad_h, :pad_w]
-        canvases.append(canvas)
-        metas.append(aug)
+        canvas_hw, step, batch = steps.get((aug.out_h, aug.out_w))
+        by_bucket.setdefault((canvas_hw, batch), []).append((aug, step))
 
     all_corners, all_scores, all_classes, all_ctr = [], [], [], []
-    for start in range(0, len(canvases), batch_chunk):
-        chunk = canvases[start : start + batch_chunk]
-        real = len(chunk)
-        while len(chunk) < batch_chunk:
-            chunk.append(chunk[-1])
-        det = eval_step(params, jnp.asarray(np.stack(chunk)))
-        det = {k: np.asarray(v) for k, v in det.items()}
-        for i in range(real):
-            aug = metas[start + i]
-            m = det["valid"][i]
-            corners = det["corners"][i][m].astype(np.float64)
-            corners = aug.invert_coords(corners.reshape(-1, 4, 2)).reshape(-1, 8)
-            all_corners.append(corners)
-            all_scores.append(det["scores"][i][m])
-            all_classes.append(det["classes"][i][m])
-            all_ctr.append(det["centerness"][i][m])
+    for (canvas_hw, batch), items in by_bucket.items():
+        pad_h, pad_w = canvas_hw
+        step = items[0][1]
+        canvases, metas = [], []
+        for aug, _ in items:
+            warped = aug.apply_image(img)
+            canvas = np.zeros((pad_h, pad_w, 3), np.float32)
+            rh, rw = warped.shape[:2]
+            canvas[: min(rh, pad_h), : min(rw, pad_w)] = warped[:pad_h, :pad_w]
+            canvases.append(canvas)
+            metas.append(aug)
+        for start in range(0, len(canvases), batch):
+            chunk = canvases[start : start + batch]
+            real = len(chunk)
+            while len(chunk) < batch:
+                chunk.append(chunk[-1])
+            det = step(params, jnp.asarray(np.stack(chunk)))
+            det = {k: np.asarray(v) for k, v in det.items()}
+            for i in range(real):
+                aug = metas[start + i]
+                m = det["valid"][i]
+                corners = det["corners"][i][m].astype(np.float64)
+                corners = aug.invert_coords(
+                    corners.reshape(-1, 4, 2)
+                ).reshape(-1, 8)
+                all_corners.append(corners)
+                all_scores.append(det["scores"][i][m])
+                all_classes.append(det["classes"][i][m])
+                all_ctr.append(det["centerness"][i][m])
 
     corners = np.concatenate(all_corners) if all_corners else np.zeros((0, 8))
     scores = np.concatenate(all_scores) if all_scores else np.zeros(0)
@@ -127,11 +187,7 @@ def do_test_with_tta(cfg, model, params, output_dir=None):
     """TTA evaluation over cfg.DATASETS.TEST (do_test_with_TTA,
     plain_train_net.py:339-357)."""
     results = {}
-    # canvas must fit the largest TTA copy
-    div = cfg.TPU.IMAGE_SIZE_DIVISIBILITY
-    m = cfg.TEST.AUG.MAX_SIZE
-    pad_hw = (int(-(-m // div) * div),) * 2
-    eval_step = jax.jit(make_eval_step(model, cfg, pad_hw))
+    steps = BucketedEvalSteps(cfg, model)
     for dataset_name in cfg.DATASETS.TEST:
         records = get_dataset(dataset_name, cfg)
         out_dir = (
@@ -145,7 +201,7 @@ def do_test_with_tta(cfg, model, params, output_dir=None):
             img = r["image"] if "image" in r else read_image(
                 r["file_name"], cfg.INPUT.FORMAT
             )
-            det = tta_inference_single(cfg, eval_step, params, img, pad_hw)
+            det = tta_inference_single(cfg, steps, params, img)
             evaluator.process_image(
                 r["image_id"], det["corners"], det["scores"], det["classes"],
                 det["valid"],

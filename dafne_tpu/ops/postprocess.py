@@ -84,10 +84,14 @@ def decode_single_level(
     if spec.has_centerness:
         ctr_prob = jax.nn.sigmoid(ctr_prob)
 
-    if spec.has_centerness and spec.thresh_with_ctr and spec.ctr_in_score:
+    # ctr is ALWAYS mixed into the NMS score when centerness is enabled
+    # (dafne_outputs.py:819-829); CENTERNESS_USE_IN_SCORE=False only
+    # un-mixes the REPORTED score after NMS (dota_evaluation.py:134-137),
+    # handled in decode_detections.
+    if spec.has_centerness and spec.thresh_with_ctr:
         cls_prob = jnp.sqrt(cls_prob * ctr_prob[:, :, None])
     candidate = cls_prob > spec.pre_nms_thresh
-    if spec.has_centerness and not spec.thresh_with_ctr and spec.ctr_in_score:
+    if spec.has_centerness and not spec.thresh_with_ctr:
         cls_prob = jnp.sqrt(cls_prob * ctr_prob[:, :, None])
 
     flat_scores = jnp.where(candidate, cls_prob, 0.0).reshape(n, hw * c)
@@ -192,6 +196,16 @@ def decode_detections(
         "locations": take_out(locs),
         "valid": out_scores > 0.0,
     }
+    if spec.has_centerness and not spec.ctr_in_score:
+        # un-mix centerness from the reported score: NMS ordering used
+        # sqrt(cls*ctr) like the reference always does; the evaluator-facing
+        # score reverts to the pure class confidence s^2/ctr (= cls)
+        # (dota_evaluation.py:134-137).
+        out["scores"] = jnp.where(
+            out["valid"],
+            out["scores"] ** 2 / jnp.maximum(out["centerness"], 1e-12),
+            0.0,
+        )
     if scale_xy is not None:
         s = jnp.tile(scale_xy[:, None, :], (1, 1, 4))  # [N,1,8]
         out["corners"] = out["corners"] * s

@@ -80,8 +80,11 @@ def test_resume_or_load_bootstrap_and_resume(tmp_path):
 def test_tta_augs_and_inference(tmp_path):
     from dafne_tpu.data import register_all_datasets
     from dafne_tpu.data.datasets.synthetic import load_synthetic
-    from dafne_tpu.engine.tta import build_tta_augs, tta_inference_single
-    from dafne_tpu.engine.trainer import make_eval_step
+    from dafne_tpu.engine.tta import (
+        BucketedEvalSteps,
+        build_tta_augs,
+        tta_inference_single,
+    )
     from dafne_tpu.models import build_model
 
     cfg = tiny_cfg(
@@ -98,9 +101,11 @@ def test_tta_augs_and_inference(tmp_path):
 
     model = build_model(cfg)
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 3)))["params"]
-    eval_step = jax.jit(make_eval_step(model, cfg, (256, 256)))
+    steps = BucketedEvalSteps(cfg, model)
     rec = load_synthetic("val", 1)[0]
-    det = tta_inference_single(cfg, eval_step, params, rec["image"], (256, 256))
+    det = tta_inference_single(cfg, steps, params, rec["image"])
+    # the 128px copies must ride a smaller canvas than the 256px ones
+    assert len(steps._steps) >= 2, steps._steps.keys()
     assert det["corners"].shape[1] == 8
     assert (det["scores"] >= 0).all()
     # corners land in original image coordinate range

@@ -184,3 +184,26 @@ def test_decode_duplicate_suppressed_and_scaling():
     np.testing.assert_allclose(
         np.asarray(out["hboxes"][0, 0]), [40, 10, 120, 22], atol=1e-3
     )
+
+
+def test_decode_ctr_not_in_score_unmixes():
+    """CENTERNESS_USE_IN_SCORE=False: NMS ordering still uses sqrt(cls*ctr)
+    (the reference always mixes, dafne_outputs.py:819-829) but the reported
+    score reverts to the pure class confidence via s^2/ctr
+    (dota_evaluation.py:134-137)."""
+    n, h, w, c, stride = 1, 16, 16, 3, 8
+    logits, corners, ctrness = _synthetic_level(
+        n, h, w, c, [(0, 4, 4, 1, _box(20, 20, 60, 44))], stride
+    )
+    spec = DecodeSpec(
+        strides=(stride,), num_classes=c, pre_nms_topk=100, post_nms_topk=10,
+        nms_max_candidates=64, ctr_in_score=False,
+    )
+    locs = [compute_locations(h, w, stride)]
+    out = decode_detections(
+        {"logits": [logits], "corners": [corners], "ctrness": [ctrness]}, locs, spec
+    )
+    cls_prob = 1 / (1 + np.exp(-4.0))
+    assert float(out["scores"][0, 0]) == pytest.approx(cls_prob, abs=1e-4)
+    # masked slots stay exactly zero
+    assert float(np.asarray(out["scores"])[0, 1:].max()) == 0.0

@@ -43,6 +43,8 @@ def param_table(params, prefix="", rows=None):
 
 
 def main():
+    from dafne_tpu.utils.platform import pin_platform_from_env
+    pin_platform_from_env()
     args = parse_args()
     from dafne_tpu.config import load_config
 

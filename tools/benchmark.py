@@ -36,6 +36,8 @@ def parse_args():
 
 
 def main():
+    from dafne_tpu.utils.platform import pin_platform_from_env
+    pin_platform_from_env()
     args = parse_args()
     from dafne_tpu.config import load_config
 

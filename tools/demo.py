@@ -43,6 +43,8 @@ def draw_detections(img, corners, scores, classes, class_names, thresh=0.3):
 
 
 def main():
+    from dafne_tpu.utils.platform import pin_platform_from_env
+    pin_platform_from_env()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--config-file", required=True)
     p.add_argument("--input", nargs="+", required=True)
@@ -87,19 +89,16 @@ def main():
     mapper = DatasetMapper(cfg, train=False, pad_hw=pad_hw)
 
     if args.tta:
-        from dafne_tpu.engine.tta import tta_inference_single
+        from dafne_tpu.engine.tta import BucketedEvalSteps, tta_inference_single
 
-        div = cfg.TPU.IMAGE_SIZE_DIVISIBILITY
-        m = cfg.TEST.AUG.MAX_SIZE
-        tta_pad = (int(-(-m // div) * div),) * 2
-        eval_step = jax.jit(make_eval_step(model, cfg, tta_pad))
+        tta_steps = BucketedEvalSteps(cfg, model)
     else:
         eval_step = jax.jit(make_eval_step(model, cfg, pad_hw))
 
     for path in args.input:
         img = cv2.imread(path)
         if args.tta:
-            det = tta_inference_single(cfg, eval_step, state.params, img, tta_pad)
+            det = tta_inference_single(cfg, tta_steps, state.params, img)
             corners, scores, classes = det["corners"], det["scores"], det["classes"]
         else:
             ex = mapper({"file_name": path, "annotations": []})

@@ -40,6 +40,8 @@ def scale_opts(scale: float, cfg) -> list:
 
 
 def main():
+    from dafne_tpu.utils.platform import pin_platform_from_env
+    pin_platform_from_env()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("verb", choices=["train", "resume", "test"])
     p.add_argument("--config-file", default="")

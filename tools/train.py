@@ -48,6 +48,8 @@ def setup(args):
 
 
 def main(argv=None):
+    from dafne_tpu.utils.platform import pin_platform_from_env
+    pin_platform_from_env()
     args = parse_args(argv)
     cfg = setup(args)
 

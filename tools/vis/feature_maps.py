@@ -21,6 +21,8 @@ import numpy as np
 
 
 def main():
+    from dafne_tpu.utils.platform import pin_platform_from_env
+    pin_platform_from_env()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--config-file", required=True)
     p.add_argument("--input", required=True)
