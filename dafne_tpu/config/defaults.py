@@ -177,6 +177,7 @@ def build_defaults() -> CfgNode:
     _C.DATALOADER = CfgNode()
     _C.DATALOADER.NUM_WORKERS = 4
     _C.DATALOADER.BACKEND = "threads"  # "threads" | "grain" (multiprocess)
+    _C.DATALOADER.CACHE_IMAGES = False  # cache decoded uint8 on the records
     _C.DATALOADER.SAMPLER_TRAIN = "TrainingSampler"
     _C.DATALOADER.REPEAT_THRESHOLD = 0.0
     _C.DATALOADER.ASPECT_RATIO_GROUPING = True

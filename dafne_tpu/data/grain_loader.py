@@ -69,7 +69,14 @@ class GrainDataLoader:
         seed: int = 0,
         pad_hw=None,
         num_workers: Optional[int] = None,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
+        """batch_size is the GLOBAL batch.  With process_count > 1 grain
+        shards the RECORD STREAM per process (like the reference's
+        DistributedSampler) and each process batches batch_size/process_count
+        rows — statistically equivalent to, but not row-identical with, the
+        thread loader's slice-of-the-same-global-batch scheme."""
         self.batch_size = batch_size
         self.train = train
         if train and cfg.DATALOADER.FILTER_EMPTY_ANNOTATIONS:
@@ -84,11 +91,22 @@ class GrainDataLoader:
         self.records = records
         workers = cfg.DATALOADER.NUM_WORKERS if num_workers is None else num_workers
 
+        if process_count > 1:
+            assert train, "grain backend shards train only; eval uses threads"
+            assert batch_size % process_count == 0
+            shard = pg.ShardOptions(
+                shard_index=process_index, shard_count=process_count,
+                drop_remainder=True,
+            )
+            local_batch = batch_size // process_count
+        else:
+            shard = pg.NoSharding()
+            local_batch = batch_size
         sampler = pg.IndexSampler(
             num_records=len(records),
             shuffle=train,
             seed=seed,
-            shard_options=pg.NoSharding(),
+            shard_options=shard,
             num_epochs=None if train else 1,
         )
         self._loader = pg.DataLoader(
@@ -98,7 +116,7 @@ class GrainDataLoader:
                 _MapExample(
                     cfg.to_dict(), train, pad_hw or pad_target_hw(cfg, train)
                 ),
-                pg.Batch(batch_size, drop_remainder=train),
+                pg.Batch(local_batch, drop_remainder=train),
             ],
             worker_count=workers,
         )
@@ -131,9 +149,19 @@ class GrainDataLoader:
 
 
 def build_data_loader(cfg, records, batch_size, train, **kw):
-    """Backend dispatch: DATALOADER.BACKEND 'threads' (default) or 'grain'."""
+    """Backend dispatch: DATALOADER.BACKEND 'threads' (default) or 'grain'.
+
+    Multi-process (jax.process_count() > 1) is wired automatically: each
+    process loads only its slice of the global batch.  Grain eval falls
+    back to the thread loader in that mode (global image_id bookkeeping).
+    """
+    import jax
+
+    if "process_count" not in kw and jax.process_count() > 1:
+        kw["process_index"] = jax.process_index()
+        kw["process_count"] = jax.process_count()
     backend = cfg.DATALOADER.get("BACKEND", "threads")
-    if backend == "grain":
+    if backend == "grain" and not (not train and kw.get("process_count", 1) > 1):
         return GrainDataLoader(cfg, records, batch_size, train, **kw)
     from dafne_tpu.data.loader import DataLoader
 

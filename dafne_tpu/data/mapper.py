@@ -95,15 +95,26 @@ class DatasetMapper:
         self.sort_corners = cfg.MODEL.DAFNE.SORT_CORNERS_DATALOADER
         self.fmt = cfg.INPUT.FORMAT
         self.color_aug = cfg.INPUT.USE_COLOR_AUGMENTATIONS and train
+        # cache decoded uint8 images on the record dicts (small datasets /
+        # benchmarking; DOTA-scale train sets should leave this off)
+        self.cache_images = cfg.DATALOADER.get("CACHE_IMAGES", False)
 
     def __call__(
-        self, record: Dict, rng: Optional[np.random.RandomState] = None
+        self,
+        record: Dict,
+        rng: Optional[np.random.RandomState] = None,
+        image_out: Optional[np.ndarray] = None,
     ) -> Dict[str, np.ndarray]:
+        """`image_out`: optional pre-zeroed [pad_h, pad_w, 3] uint8 buffer to
+        render into (the loader passes batch slices so no per-example canvas
+        allocation + batch-stack copy happens — single-core host hot path)."""
         rng = rng or np.random.RandomState()
-        if "image" in record:  # pre-loaded (synthetic datasets)
+        if "image" in record:  # pre-loaded (synthetic datasets / cache)
             img = record["image"]
         else:
             img = read_image(record["file_name"], self.fmt)
+            if self.cache_images:
+                record["image"] = img
         h, w = img.shape[:2]
 
         if self.train:
@@ -157,7 +168,10 @@ class DatasetMapper:
         # than float32; the model normalizes on-chip (OneStageDetector).
         if img.dtype != np.uint8:
             img = np.clip(img, 0, 255).astype(np.uint8)
-        canvas = np.zeros((self.pad_h, self.pad_w, 3), np.uint8)
+        if image_out is not None:
+            canvas = image_out  # caller-provided, pre-zeroed
+        else:
+            canvas = np.zeros((self.pad_h, self.pad_w, 3), np.uint8)
         canvas[:rh, :rw] = img[: self.pad_h, : self.pad_w]
 
         return {

@@ -72,16 +72,48 @@ def build_state(cfg, model, image_hw, rng=None):
 def do_test(
     cfg, model, params, output_dir=None, step: int = 0, batch_stats=None
 ) -> Dict[str, Dict[str, float]]:
-    """Evaluate on every cfg.DATASETS.TEST dataset (plain_train_net.py:316-336)."""
+    """Evaluate on every cfg.DATASETS.TEST dataset (plain_train_net.py:316-336).
+
+    Multi-process: every process runs the same jitted step on its slice of
+    the global eval batch; decode outputs come back REPLICATED (the
+    in-program all-gather replaces the reference's torch.distributed
+    prediction gather) and only process 0 feeds the evaluator / writes
+    artifacts."""
+    from dafne_tpu.parallel import distributed as dist
+
     results = {}
     pad_hw = pad_target_hw(cfg, train=False)
-    eval_step = jax.jit(make_eval_step(model, cfg, pad_hw))
+    multiproc = jax.process_count() > 1
+    if multiproc:
+        mesh = mesh_from_config(cfg)
+        rep = replicated_sharding(mesh)
+        params = jax.device_put(params, rep)
+        if batch_stats is not None:
+            batch_stats = jax.device_put(batch_stats, rep)
+        eval_step = jax.jit(make_eval_step(model, cfg, pad_hw), out_shardings=rep)
+
+        from dafne_tpu.parallel import shard_batch
+
+        def to_device(batch):
+            d = shard_batch(
+                {"image": batch["image"], "scale_xy": batch["scale_xy"]}, mesh
+            )
+            return d["image"], d["scale_xy"]
+    else:
+        eval_step = jax.jit(make_eval_step(model, cfg, pad_hw))
+
+        def to_device(batch):
+            return jnp.asarray(batch["image"]), jnp.asarray(batch["scale_xy"])
+
+    is_main = dist.is_main_process()
     for dataset_name in cfg.DATASETS.TEST:
         records = get_dataset(dataset_name, cfg)
-        loader = build_data_loader(
-            cfg, records, batch_size=max(1, min(8, cfg.SOLVER.IMS_PER_BATCH)),
-            train=False,
-        )
+        batch_size = max(1, min(8, cfg.SOLVER.IMS_PER_BATCH))
+        if multiproc:
+            # keep the global eval batch divisible across processes
+            pc = jax.process_count()
+            batch_size = max(pc, (batch_size // pc) * pc)
+        loader = build_data_loader(cfg, records, batch_size=batch_size, train=False)
         out_dir = (
             os.path.join(output_dir, "inference", dataset_name) if output_dir else None
         )
@@ -91,24 +123,25 @@ def do_test(
         # one-batch pipelining: dispatch batch i+1 before fetching batch i
         pending = None
         for batch in loader:
-            det = eval_step(
-                params,
-                jnp.asarray(batch["image"]),
-                jnp.asarray(batch["scale_xy"]),
-                batch_stats,
-            )
+            images, scale_xy = to_device(batch)
+            det = eval_step(params, images, scale_xy, batch_stats)
             if pending is not None:
                 pb, pd = pending
                 pd = {k: np.asarray(v) for k, v in pd.items()}
-                evaluator.process_batch(pb, pd)
+                if is_main:
+                    evaluator.process_batch(pb, pd)
                 n_images += int(pb["batch_valid"].sum())
             pending = (batch, det)
         if pending is not None:
             pb, pd = pending
             pd = {k: np.asarray(v) for k, v in pd.items()}
-            evaluator.process_batch(pb, pd)
+            if is_main:
+                evaluator.process_batch(pb, pd)
             n_images += int(pb["batch_valid"].sum())
         dt = time.perf_counter() - t0
+        if not is_main:
+            results[dataset_name] = {}
+            continue
         from dafne_tpu.data import MetadataCatalog
 
         meta = MetadataCatalog.get(dataset_name, {})
@@ -200,8 +233,13 @@ def do_train(cfg, model, resume: bool = False):
     )
     logger.info(f"train records: {len(train_records)}")
 
-    writers = build_writers(output_dir, cfg.SOLVER.MAX_ITER)
+    # host side effects (metric writers, RTPT) are process-0 only; orbax
+    # checkpointing participates on every process (multihost-aware)
+    from dafne_tpu.parallel import distributed as dist
+
+    is_main = dist.is_main_process()
     max_iter = cfg.SOLVER.MAX_ITER
+    writers = build_writers(output_dir, max_iter) if is_main else []
 
     from dafne_tpu.utils.rtpt import RTPT
 
@@ -209,8 +247,9 @@ def do_train(cfg, model, resume: bool = False):
         experiment_name=cfg.EXPERIMENT_NAME,
         max_iterations=max_iter,
         status_file=os.path.join(output_dir, "rtpt_status"),
-    )
-    rtpt.start()
+    ) if is_main else None
+    if rtpt:
+        rtpt.start()
     eval_period = cfg.TEST.EVAL_PERIOD
     ckpt_period = cfg.SOLVER.CHECKPOINT_PERIOD
 
@@ -268,7 +307,8 @@ def do_train(cfg, model, resume: bool = False):
                 )
             for w in writers:
                 w.write(it + 1, host)
-            rtpt.step(iteration=it + 1)
+            if rtpt:
+                rtpt.step(iteration=it + 1)
 
         if ckpt_period and (it + 1) % ckpt_period == 0:
             checkpointer.save(it + 1, jax.device_get(state))

@@ -164,6 +164,53 @@ class DLABasic(nn.Module):
         return nn.relu(y + residual)
 
 
+class DLABottleneck(nn.Module):
+    """1x1 -> 3x3 -> 1x1 bottleneck (dla.py:69-107, expansion 2).
+
+    The reference sizes every BN to `planes` even though conv1/conv2 emit
+    `planes // expansion` channels — a latent crash in code its registry
+    never instantiates (dla.py import is commented out upstream).  Here the
+    norms match their conv widths, which is the only runnable reading.
+    """
+
+    channels: int
+    stride: int = 1
+    cardinality: int = 0  # 0 = plain bottleneck; >0 = ResNeXt grouped conv
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, residual=None):
+        if residual is None:
+            residual = x
+        if self.cardinality:
+            bottle = self.channels * self.cardinality // 32  # dla.py:119
+            groups = self.cardinality
+        else:
+            bottle = self.channels // 2  # expansion 2, dla.py:75
+            groups = 1
+        y = conv(bottle, 1, 1, "conv1", self.dtype)(x)
+        y = nn.relu(BN(bottle, dtype=self.dtype, name="bn1")(y))
+        y = nn.Conv(
+            bottle, (3, 3), (self.stride, self.stride),
+            padding=[(1, 1), (1, 1)], use_bias=False,
+            feature_group_count=groups, name="conv2", dtype=self.dtype,
+        )(y)
+        y = nn.relu(BN(bottle, dtype=self.dtype, name="bn2")(y))
+        y = conv(self.channels, 1, 1, "conv3", self.dtype)(y)
+        y = BN(self.channels, dtype=self.dtype, name="bn3")(y)
+        return nn.relu(y + residual)
+
+
+def _dla_block(block: str, channels, stride, cardinality, dtype, name):
+    if block == "basic":
+        return DLABasic(channels, stride, dtype, name=name)
+    if block == "bottleneck":
+        return DLABottleneck(channels, stride, 0, dtype, name=name)
+    if block == "bottleneckx":
+        return DLABottleneck(channels, stride, cardinality, dtype, name=name)
+    raise ValueError(block)
+
+
 class DLARoot(nn.Module):
     channels: int
     shortcut: bool
@@ -185,6 +232,8 @@ class DLATree(nn.Module):
     stride: int = 1
     level_root: bool = False
     root_shortcut: bool = False
+    block: str = "basic"  # basic | bottleneck | bottleneckx
+    cardinality: int = 32
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -203,47 +252,76 @@ class DLATree(nn.Module):
             children.append(bottom)
 
         if self.levels == 1:
-            t1 = DLABasic(self.channels, self.stride, self.dtype, name="tree1")(
-                x, residual
-            )
-            t2 = DLABasic(self.channels, 1, self.dtype, name="tree2")(t1)
+            t1 = _dla_block(
+                self.block, self.channels, self.stride, self.cardinality,
+                self.dtype, "tree1",
+            )(x, residual)
+            t2 = _dla_block(
+                self.block, self.channels, 1, self.cardinality, self.dtype,
+                "tree2",
+            )(t1)
             return DLARoot(self.channels, self.root_shortcut, self.dtype, name="root")(
                 [t2, t1] + children
             )
         t1 = DLATree(
             self.levels - 1, self.channels, self.stride,
-            root_shortcut=self.root_shortcut, dtype=self.dtype, name="tree1",
+            root_shortcut=self.root_shortcut, block=self.block,
+            cardinality=self.cardinality, dtype=self.dtype, name="tree1",
         )(x)
         return DLATree(
             self.levels - 1, self.channels, 1,
-            root_shortcut=self.root_shortcut, dtype=self.dtype, name="tree2",
+            root_shortcut=self.root_shortcut, block=self.block,
+            cardinality=self.cardinality, dtype=self.dtype, name="tree2",
         )(t1, tuple(children + [t1]))
 
 
-class DLA(nn.Module):
-    """DLA-34 trunk (dla.py:233-441): levels (1,1,1,2,2,1),
-    channels (16,32,64,128,256,512); res3/4/5 are dla stages 3..5."""
+# DLA family (dla.py:310-441): levels, channels, block, root residual, cardinality
+DLA_SPECS = {
+    "DLA34": ((1, 1, 1, 2, 2, 1), (16, 32, 64, 128, 256, 512), "basic", False, 32),
+    "DLA46_C": ((1, 1, 1, 2, 2, 1), (16, 32, 64, 64, 128, 256), "bottleneck", False, 32),
+    "DLA46X_C": ((1, 1, 1, 2, 2, 1), (16, 32, 64, 64, 128, 256), "bottleneckx", False, 32),
+    "DLA60X_C": ((1, 1, 1, 2, 3, 1), (16, 32, 64, 64, 128, 256), "bottleneckx", False, 32),
+    "DLA60": ((1, 1, 1, 2, 3, 1), (16, 32, 128, 256, 512, 1024), "bottleneck", False, 32),
+    "DLA60X": ((1, 1, 1, 2, 3, 1), (16, 32, 128, 256, 512, 1024), "bottleneckx", False, 32),
+    "DLA102": ((1, 1, 1, 3, 4, 1), (16, 32, 128, 256, 512, 1024), "bottleneck", True, 32),
+    "DLA102X": ((1, 1, 1, 3, 4, 1), (16, 32, 128, 256, 512, 1024), "bottleneckx", True, 32),
+    "DLA102X2": ((1, 1, 1, 3, 4, 1), (16, 32, 128, 256, 512, 1024), "bottleneckx", True, 64),
+    "DLA169": ((1, 1, 2, 3, 5, 1), (16, 32, 128, 256, 512, 1024), "bottleneck", True, 32),
+}
 
-    channels: Sequence[int] = (16, 32, 64, 128, 256, 512)
-    levels: Sequence[int] = (1, 1, 1, 2, 2, 1)
+
+class DLA(nn.Module):
+    """DLA trunk family (dla.py:233-441).  `body` selects the variant
+    (MODEL.DLA.CONV_BODY); res3/4/5 are dla stages 3..5.  The reference's
+    level0/level1 conv counts are 1 in every published variant, matched
+    here with single conv layers."""
+
+    body: str = "DLA34"
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        ch = self.channels
+        levels, ch, block, root_res, card = DLA_SPECS[self.body.upper()]
         y = conv(ch[0], 7, 1, "base_conv", self.dtype)(x)
         y = nn.relu(BN(ch[0], dtype=self.dtype, name="base_bn")(y))
         y = conv(ch[0], 3, 1, "level0_conv", self.dtype)(y)
         y = nn.relu(BN(ch[0], dtype=self.dtype, name="level0_bn")(y))
         y = conv(ch[1], 3, 2, "level1_conv", self.dtype)(y)
         y = nn.relu(BN(ch[1], dtype=self.dtype, name="level1_bn")(y))
-        y = DLATree(self.levels[2], ch[2], 2, False, dtype=self.dtype, name="level2")(y)
+
+        def tree(lv, c, level_root, name):
+            return DLATree(
+                lv, c, 2, level_root, root_shortcut=root_res, block=block,
+                cardinality=card, dtype=self.dtype, name=name,
+            )
+
+        y = tree(levels[2], ch[2], False, "level2")(y)
         outs = {}
-        y = DLATree(self.levels[3], ch[3], 2, True, dtype=self.dtype, name="level3")(y)
+        y = tree(levels[3], ch[3], True, "level3")(y)
         outs["res3"] = y  # stride 8
-        y = DLATree(self.levels[4], ch[4], 2, True, dtype=self.dtype, name="level4")(y)
+        y = tree(levels[4], ch[4], True, "level4")(y)
         outs["res4"] = y  # stride 16
-        y = DLATree(self.levels[5], ch[5], 2, True, dtype=self.dtype, name="level5")(y)
+        y = tree(levels[5], ch[5], True, "level5")(y)
         outs["res5"] = y  # stride 32
         return outs
 

@@ -99,7 +99,7 @@ class OneStageDetector(nn.Module):
         elif self.backbone_kind == "dla":
             from dafne_tpu.models.backbones import DLA
 
-            cls, kwargs = DLA, {}
+            cls, kwargs = DLA, dict(body=self.dla_body)
         elif self.backbone_kind == "vovnet":
             from dafne_tpu.models.backbones import VoVNet
 

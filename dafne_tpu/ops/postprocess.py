@@ -163,8 +163,11 @@ def decode_detections(
     }
 
     # Cap the NMS input with a global score top-k (static size).
+    # nms_max_candidates <= 0 means reference-faithful "no global cap": every
+    # per-level top-k survivor enters NMS (the reference feeds all levels'
+    # candidates, dafne_outputs.py:785-788,907-912).
     total = cand["scores"].shape[1]
-    m = min(spec.nms_max_candidates, total)
+    m = min(spec.nms_max_candidates, total) if spec.nms_max_candidates > 0 else total
     top_scores, top_idx = jax.lax.top_k(
         jnp.where(cand["valid"], cand["scores"], 0.0), m
     )

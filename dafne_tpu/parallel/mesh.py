@@ -71,15 +71,29 @@ def image_sharding(mesh: Mesh, data_axis: str = "data",
 def shard_batch(batch: Dict[str, Any], mesh: Mesh, axis: str = "data",
                 spatial_axis: Optional[str] = None):
     """Device_put a host batch: leading dim over `axis`; images additionally
-    over `spatial_axis` (H) when the mesh has one."""
+    over `spatial_axis` (H) when the mesh has one.
+
+    Multi-process: `batch` holds this process's LOCAL rows (global_batch /
+    process_count, see parallel.distributed.local_batch_slice); the global
+    array is assembled with jax.make_array_from_process_local_data — no
+    cross-host data movement, each host's rows live on its own chips.
+    """
     sh = batch_sharding(mesh, axis)
     img_sh = image_sharding(mesh, axis, spatial_axis)
+    pc = jax.process_count()
+
+    def put(v, sharding):
+        if pc == 1:
+            return jax.device_put(v, sharding)
+        global_shape = (v.shape[0] * pc,) + tuple(v.shape[1:])
+        return jax.make_array_from_process_local_data(sharding, v, global_shape)
+
     out = {}
     for k, v in batch.items():
         if not hasattr(v, "ndim") or v.ndim < 1:
             out[k] = v
         elif k == "image" and v.ndim == 4:
-            out[k] = jax.device_put(v, img_sh)
+            out[k] = put(v, img_sh)
         else:
-            out[k] = jax.device_put(v, sh)
+            out[k] = put(v, sh)
     return out

@@ -54,3 +54,35 @@ def test_lpf_blur_pool_shift_smoothing():
     raw_a = np.asarray(x)[:, ::2, ::2]
     raw_b = np.asarray(shifted)[:, ::2, ::2]
     assert np.abs(a - b).mean() < np.abs(raw_a - raw_b).mean()
+
+
+@pytest.mark.parametrize("body", sorted(__import__("dafne_tpu.models.backbones", fromlist=["DLA_SPECS"]).DLA_SPECS))
+def test_dla_variants_forward(body):
+    """Every DLA variant (dla.py:310-441) constructs and produces the
+    res3/4/5 pyramid at the spec'd channel widths."""
+    from dafne_tpu.models.backbones import DLA, DLA_SPECS
+
+    trunk = DLA(body=body)
+    x = jnp.zeros((1, 64, 64, 3))
+    params = trunk.init(jax.random.PRNGKey(0), x)["params"]
+    outs = trunk.apply({"params": params}, x)
+    _, ch, _, _, _ = DLA_SPECS[body]
+    assert outs["res3"].shape == (1, 8, 8, ch[3]), body
+    assert outs["res4"].shape == (1, 4, 4, ch[4])
+    assert outs["res5"].shape == (1, 2, 2, ch[5])
+
+
+def test_dla_variant_through_full_detector():
+    cfg = get_cfg()
+    cfg.MODEL.BACKBONE.NAME = "build_dafne_dla_fpn_backbone"
+    cfg.MODEL.DLA.CONV_BODY = "DLA60"
+    cfg.MODEL.FPN.OUT_CHANNELS = 32
+    cfg.MODEL.DAFNE.NUM_CLASSES = 2
+    cfg.MODEL.DAFNE.NUM_CLS_CONVS = 1
+    cfg.MODEL.DAFNE.NUM_BOX_CONVS = 1
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    model = build_model(cfg)
+    x = jnp.zeros((1, 128, 128, 3))
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    out = model.apply({"params": params}, x)
+    assert out["logits"][0].shape == (1, 16, 16, 2)

@@ -174,3 +174,45 @@ def test_grain_loader_backend():
     batches = list(ev)
     assert len(batches) == 2
     assert batches[-1]["batch_valid"].sum() == 1
+
+
+def test_axis_aligned_fast_path_matches_warpaffine():
+    """Flips/rot90/flip-of-resize render identically through the numpy/cv2
+    fast path and the general cv2.warpAffine path (the fast path must be a
+    pure optimization, never a semantics change)."""
+    import cv2
+
+    from dafne_tpu.data import transforms as T
+
+    rng = np.random.RandomState(0)
+    img = (rng.rand(96, 128, 3) * 255).astype(np.uint8)
+    h, w = img.shape[:2]
+    sq = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+
+    cases = [
+        (T.hflip(w, h), img),
+        (T.vflip(w, h), img),
+        (T.rotation(64, 64, 90.0), sq),
+        (T.rotation(64, 64, 180.0), sq),
+        (T.rotation(64, 64, 270.0), sq),
+        (T.hflip(64, 64).compose(T.rotation(64, 64, 90.0)), sq),
+        (T.resize(w, h, 64, 48).compose(T.hflip(64, 48)), img),
+    ]
+    for aug, src in cases:
+        fast = aug._axis_aligned_fast(src)
+        assert fast is not None, aug.matrix
+        # general path: warpAffine with the center-convention offset
+        m = aug.matrix
+        lin = m[:, :2]
+        a_img = np.hstack(
+            [lin, (lin @ np.array([0.5, 0.5]) + m[:, 2] - 0.5)[:, None]]
+        )
+        ref = cv2.warpAffine(
+            src, a_img.astype(np.float32), (aug.out_w, aug.out_h),
+            flags=cv2.INTER_LINEAR,
+        )
+        diff = np.abs(fast.astype(int) - ref.astype(int))
+        assert diff.max() <= 1, (aug.matrix, diff.max())  # 1 LSB rounding
+
+    # rotation by 30 degrees must NOT take the fast path
+    assert T.rotation(64, 64, 30.0)._axis_aligned_fast(sq) is None

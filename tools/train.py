@@ -50,6 +50,8 @@ def setup(args):
 def main(argv=None):
     from dafne_tpu.utils.platform import pin_platform_from_env
     pin_platform_from_env()
+    from dafne_tpu.parallel.distributed import maybe_initialize_distributed
+    maybe_initialize_distributed()  # multi-host launch (§5.8); no-op otherwise
     args = parse_args(argv)
     cfg = setup(args)
 
