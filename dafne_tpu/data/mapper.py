@@ -190,6 +190,36 @@ class DatasetMapper:
         }
 
 
+def eval_pad_hw(cfg, records) -> Tuple[int, int]:
+    """Tight static eval canvas: the max RESIZED extent over the dataset's
+    records (dims known without image IO), rounded up to the divisibility.
+
+    Falls back to the worst-case `pad_target_hw` when any record lacks
+    width/height.  Fixes the round-1 weakness of padding every eval batch to
+    INPUT.MAX_SIZE_TEST even when the dataset resizes far smaller (e.g.
+    HRSC: ~1100x800 sources at shortest-edge 800 fit a 1152x896 canvas, not
+    1408^2)."""
+    from dafne_tpu.data import transforms as T
+
+    worst = pad_target_hw(cfg, train=False)
+    div = cfg.TPU.IMAGE_SIZE_DIVISIBILITY
+    mh = mw = 0
+    for r in records:
+        w, h = r.get("width"), r.get("height")
+        if not w or not h:
+            if "image" in r:
+                h, w = r["image"].shape[:2]
+            else:
+                return worst
+        aug = T.build_test_augmentation(cfg, int(w), int(h))
+        mh = max(mh, aug.out_h)
+        mw = max(mw, aug.out_w)
+    if mh == 0:
+        return worst
+    rup = lambda v: int(-(-v // div) * div)
+    return min(rup(mh), worst[0]), min(rup(mw), worst[1])
+
+
 def pad_target_hw(cfg, train: bool) -> Tuple[int, int]:
     """The static canvas size for a config (max resize, rounded up to the
     size divisibility)."""

@@ -79,10 +79,10 @@ def do_test(
     in-program all-gather replaces the reference's torch.distributed
     prediction gather) and only process 0 feeds the evaluator / writes
     artifacts."""
+    from dafne_tpu.data.mapper import eval_pad_hw
     from dafne_tpu.parallel import distributed as dist
 
     results = {}
-    pad_hw = pad_target_hw(cfg, train=False)
     multiproc = jax.process_count() > 1
     if multiproc:
         mesh = mesh_from_config(cfg)
@@ -90,7 +90,6 @@ def do_test(
         params = jax.device_put(params, rep)
         if batch_stats is not None:
             batch_stats = jax.device_put(batch_stats, rep)
-        eval_step = jax.jit(make_eval_step(model, cfg, pad_hw), out_shardings=rep)
 
         from dafne_tpu.parallel import shard_batch
 
@@ -100,20 +99,30 @@ def do_test(
             )
             return d["image"], d["scale_xy"]
     else:
-        eval_step = jax.jit(make_eval_step(model, cfg, pad_hw))
-
         def to_device(batch):
             return jnp.asarray(batch["image"]), jnp.asarray(batch["scale_xy"])
 
     is_main = dist.is_main_process()
+    step_cache: Dict = {}
     for dataset_name in cfg.DATASETS.TEST:
         records = get_dataset(dataset_name, cfg)
-        batch_size = max(1, min(8, cfg.SOLVER.IMS_PER_BATCH))
+        # tight per-dataset canvas (record dims, no image IO) instead of the
+        # worst-case INPUT.MAX_SIZE_TEST square; compiled steps cached per size
+        pad_hw = eval_pad_hw(cfg, records)
+        if pad_hw not in step_cache:
+            fn = make_eval_step(model, cfg, pad_hw)
+            step_cache[pad_hw] = jax.jit(
+                fn, out_shardings=rep
+            ) if multiproc else jax.jit(fn)
+        eval_step = step_cache[pad_hw]
+        batch_size = max(1, min(int(cfg.TPU.EVAL_BATCH), cfg.SOLVER.IMS_PER_BATCH))
         if multiproc:
             # keep the global eval batch divisible across processes
             pc = jax.process_count()
             batch_size = max(pc, (batch_size // pc) * pc)
-        loader = build_data_loader(cfg, records, batch_size=batch_size, train=False)
+        loader = build_data_loader(
+            cfg, records, batch_size=batch_size, train=False, pad_hw=pad_hw
+        )
         out_dir = (
             os.path.join(output_dir, "inference", dataset_name) if output_dir else None
         )

@@ -216,3 +216,31 @@ def test_axis_aligned_fast_path_matches_warpaffine():
 
     # rotation by 30 degrees must NOT take the fast path
     assert T.rotation(64, 64, 30.0)._axis_aligned_fast(sq) is None
+
+
+def test_eval_pad_hw_tightens_canvas():
+    """eval canvas derives from record dims; falls back to worst case."""
+    from dafne_tpu.config import get_cfg
+    from dafne_tpu.data.mapper import eval_pad_hw, pad_target_hw
+
+    cfg = get_cfg()
+    cfg.INPUT.RESIZE_TYPE = "shortest-edge"
+    cfg.INPUT.MIN_SIZE_TEST = 800
+    cfg.INPUT.MAX_SIZE_TEST = 1333
+    cfg.TPU.IMAGE_SIZE_DIVISIBILITY = 128
+
+    # HRSC-like: 1100x800 sources -> shortest edge 800 -> 1100x800 resized
+    records = [{"width": 1100, "height": 800}, {"width": 900, "height": 700}]
+    hw = eval_pad_hw(cfg, records)
+    assert hw == (896, 1152), hw  # much tighter than worst (1408, 1408)
+    assert pad_target_hw(cfg, train=False) == (1408, 1408)
+
+    # missing dims -> worst case
+    assert eval_pad_hw(cfg, [{"file_name": "x.png"}]) == (1408, 1408)
+
+    # preloaded image provides dims
+    import numpy as np
+
+    rec = {"image": np.zeros((256, 512, 3), np.uint8)}
+    hw2 = eval_pad_hw(cfg, [rec])
+    assert hw2[0] <= 1024 and hw2[1] <= 1408
