@@ -55,6 +55,7 @@ class AssignmentSpec:
     def from_config(cls, cfg) -> "AssignmentSpec":
         d = cfg.MODEL.DAFNE
         return cls(
+            impl=cfg.TPU.get("ASSIGN_IMPL", "auto"),
             strides=tuple(d.FPN_STRIDES),
             sizes_of_interest=tuple(d.SIZES_OF_INTEREST),
             num_classes=d.NUM_CLASSES,

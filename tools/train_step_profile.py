@@ -1,0 +1,213 @@
+#!/usr/bin/env python3
+"""Attribute the flagship train-step time on real hardware (VERDICT r1 #9).
+
+jax.profiler traces are unreliable over the axon remote tunnel, so this
+measures by ABLATION: each phase is a separately-jitted program timed with
+the on-device chaining trick from bench.py (inputs data-depend on the
+previous step's output; ONE final fetch closes the pipeline):
+
+  model_fwd    backbone+FPN+head forward only
+  loss_fwd     + assignment + losses (no grad)
+  train_step   + backward + optimizer (the real step)
+
+and knob variants of the full step (remat backbone, assignment impl).
+
+Run:  python tools/train_step_profile.py [--phases model_fwd,loss_fwd,...]
+Writes PROFILE_TRAIN.json.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+BATCH, HW = 8, 1024
+ITERS, WARMUP = 10, 2
+
+
+def flagship_cfg(**tpu_overrides):
+    from dafne_tpu.config import get_cfg
+
+    cfg = get_cfg()
+    cfg.MODEL.RESNETS.DEPTH = 50
+    cfg.MODEL.DAFNE.NUM_CLASSES = 15
+    cfg.TPU.COMPUTE_DTYPE = "bfloat16"
+    for k, v in tpu_overrides.items():
+        setattr(cfg.TPU, k, v)
+    return cfg
+
+
+def synthetic_batch(rng, n_gt=24):
+    import jax.numpy as jnp
+
+    quads = []
+    for _ in range(BATCH * n_gt):
+        cx, cy = rng.uniform(100, HW - 100, 2)
+        w, h = rng.uniform(16, 120, 2)
+        th = rng.uniform(0, np.pi)
+        c, s = np.cos(th), np.sin(th)
+        dx = np.array([-w, w, w, -w]) / 2
+        dy = np.array([-h, -h, h, h]) / 2
+        quads.append(
+            np.stack([cx + dx * c - dy * s, cy + dx * s + dy * c], 1).reshape(8)
+        )
+    quads = np.asarray(quads, np.float32).reshape(BATCH, n_gt, 8)
+    xs, ys = quads[..., 0::2], quads[..., 1::2]
+    hbox = np.stack([xs.min(-1), ys.min(-1), xs.max(-1), ys.max(-1)], -1)
+    area = np.abs(
+        0.5 * ((xs * np.roll(ys, -1, -1)).sum(-1) - (ys * np.roll(xs, -1, -1)).sum(-1))
+    )
+    return {
+        "image": jnp.asarray(rng.rand(BATCH, HW, HW, 3).astype(np.float32) * 255),
+        "gt_corners": jnp.asarray(quads),
+        "gt_hbox": jnp.asarray(hbox.astype(np.float32)),
+        "gt_classes": jnp.asarray(rng.randint(0, 15, (BATCH, n_gt)).astype(np.int32)),
+        "gt_area": jnp.asarray(area.astype(np.float32)),
+        "gt_valid": jnp.asarray(np.ones((BATCH, n_gt), bool)),
+    }
+
+
+def timed_chain(step, *args):
+    """step(carry, *args) -> new scalar carry; returns ms/iter."""
+    import jax.numpy as jnp
+
+    carry = jnp.zeros((), jnp.float32)
+    for _ in range(WARMUP):
+        carry = step(carry, *args)
+    float(carry)
+    t0 = time.perf_counter()
+    carry = jnp.zeros((), jnp.float32)
+    for _ in range(ITERS):
+        carry = step(carry, *args)
+    float(carry)
+    return (time.perf_counter() - t0) / ITERS * 1000.0
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument(
+        "--phases",
+        default="model_fwd,loss_fwd,train_step,train_step_remat",
+    )
+    args = p.parse_args()
+    phases = args.phases.split(",")
+
+    import jax
+    import jax.numpy as jnp
+
+    from dafne_tpu.engine.optimizer import build_optimizer
+    from dafne_tpu.engine.trainer import (
+        TrainState,
+        compute_losses,
+        make_location_tables,
+        make_train_step,
+    )
+    from dafne_tpu.models import build_model
+    from dafne_tpu.ops.losses import LossSpec
+    from dafne_tpu.ops.targets import AssignmentSpec
+
+    rng = np.random.RandomState(0)
+    batch = synthetic_batch(rng)
+    results = {"batch": BATCH, "hw": HW, "device": str(jax.devices()[0])}
+
+    def build(cfg):
+        model = build_model(cfg)
+        params = jax.jit(
+            lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((1, HW, HW, 3)))[
+                "params"
+            ]
+        )()
+        return model, params
+
+    cfg = flagship_cfg()
+    model, params = build(cfg)
+
+    if "model_fwd" in phases:
+        def fwd(carry, params, image):
+            out = model.apply({"params": params}, image + carry * 0.0)
+            return sum(jnp.sum(o) for o in out["logits"]).astype(jnp.float32)
+
+        ms = timed_chain(jax.jit(fwd), params, batch["image"])
+        results["model_fwd_ms"] = round(ms, 1)
+        print("model_fwd", results["model_fwd_ms"], flush=True)
+
+    if "loss_fwd" in phases:
+        aspec = AssignmentSpec.from_config(cfg)
+        lspec = LossSpec.from_config(cfg)
+        tables = make_location_tables((HW, HW), aspec)
+
+        def loss_fwd(carry, params, b):
+            b = dict(b)
+            b["image"] = b["image"] + carry * 0.0
+            (losses, _), _ = compute_losses(
+                model, params, b, aspec, lspec, tables, train=True
+            )
+            return losses["loss/total"].astype(jnp.float32)
+
+        ms = timed_chain(jax.jit(loss_fwd), params, batch)
+        results["loss_fwd_ms"] = round(ms, 1)
+        print("loss_fwd", results["loss_fwd_ms"], flush=True)
+
+    def full_step_ms(cfg_variant):
+        model_v, params_v = build(cfg_variant)
+        tx, sched = build_optimizer(cfg_variant, params_v)
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32), params=params_v,
+            opt_state=tx.init(params_v), tx=tx,
+        )
+        step = jax.jit(
+            make_train_step(model_v, cfg_variant, (HW, HW), tx, sched),
+            donate_argnums=(0,),
+        )
+
+        # chain through the image so steps serialize on-device
+        def chained(carry, state, b):
+            b = dict(b)
+            b["image"] = b["image"] + carry * 0.0
+            new_state, metrics = step(state, b)
+            return metrics["loss/total"].astype(jnp.float32), new_state
+
+        c = jnp.zeros((), jnp.float32)
+        for _ in range(WARMUP):
+            c, state = chained(c, state, batch)
+        float(c)
+        t0 = time.perf_counter()
+        c = jnp.zeros((), jnp.float32)
+        for _ in range(ITERS):
+            c, state = chained(c, state, batch)
+        float(c)
+        return (time.perf_counter() - t0) / ITERS * 1000.0
+
+    if "train_step" in phases:
+        results["train_step_ms"] = round(full_step_ms(flagship_cfg()), 1)
+        print("train_step", results["train_step_ms"], flush=True)
+
+    if "train_step_remat" in phases:
+        results["train_step_remat_ms"] = round(
+            full_step_ms(flagship_cfg(REMAT_BACKBONE=True)), 1
+        )
+        print("train_step_remat", results["train_step_remat_ms"], flush=True)
+
+    if "train_step_xla_assign" in phases:
+        # route assignment through the XLA scan instead of the Pallas kernel
+        results["train_step_xla_assign_ms"] = round(
+            full_step_ms(flagship_cfg(ASSIGN_IMPL="xla")), 1
+        )
+        print("train_step_xla_assign", results["train_step_xla_assign_ms"], flush=True)
+
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "PROFILE_TRAIN.json",
+    )
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
