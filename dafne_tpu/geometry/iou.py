@@ -193,17 +193,32 @@ def _clipped_edge_integral(a, b, qv, eps, include_boundary):
     num = e[..., 0] * rel[..., 1] - e[..., 1] * rel[..., 0]  # [..., 4]
     den = e[..., 0] * d[..., None, 1] - e[..., 1] * d[..., None, 0]  # [..., 4]
 
+    # Scale-RELATIVE tolerances.  For exactly coincident edges `den` is 0 in
+    # real arithmetic, but FMA contraction leaves O(ulp * |e||d|) residue —
+    # for image-scale coords that's ~1e-2, far above any absolute epsilon.
+    # Missing the parallel branch there double-counts shared boundary and
+    # produces inter > union (observed as garbage self-IoU whenever XLA
+    # fused this differently, e.g. under lax.map).  Tolerances proportional
+    # to the term magnitudes are immune to both the coordinate scale and
+    # the compiler's contraction choices.
+    den_tol = eps * (
+        jnp.abs(e[..., 0] * d[..., None, 1]) + jnp.abs(e[..., 1] * d[..., None, 0])
+    )
+    num_tol = eps * (
+        jnp.abs(e[..., 0] * rel[..., 1]) + jnp.abs(e[..., 1] * rel[..., 0])
+    )
+
     big = jnp.asarray(1e30, a.dtype)
-    ratio = -num / jnp.where(jnp.abs(den) > eps, den, 1.0)
-    parallel = jnp.abs(den) <= eps
+    parallel = jnp.abs(den) <= den_tol
+    ratio = -num / jnp.where(parallel, 1.0, den)
     # entering (den>0): t >= ratio ; exiting (den<0): t <= ratio
-    t_low = jnp.where(den > eps, ratio, -big)
-    t_high = jnp.where(den < -eps, ratio, big)
+    t_low = jnp.where(den > den_tol, ratio, -big)
+    t_high = jnp.where(den < -den_tol, ratio, big)
     # parallel & outside -> empty interval
-    outside = parallel & (num < 0)
+    outside = parallel & (num < -num_tol)
     if not include_boundary:
         same_dir = (e[..., 0] * d[..., None, 0] + e[..., 1] * d[..., None, 1]) > 0
-        on_boundary = parallel & (jnp.abs(num) <= eps)
+        on_boundary = parallel & (jnp.abs(num) <= num_tol)
         outside = outside | (on_boundary & same_dir)
     t_low = jnp.where(outside, big, t_low)
     t_high = jnp.where(outside, -big, t_high)
@@ -216,7 +231,7 @@ def _clipped_edge_integral(a, b, qv, eps, include_boundary):
     return jnp.where(t0 < t1, contrib, 0.0)
 
 
-def quad_intersection_area_clip(p, q, eps=1e-9):
+def quad_intersection_area_clip(p, q, eps=1e-6):
     """Exact intersection area via boundary line integral (batched [..., 8]).
 
     area(P ∩ Q) = 0.5 ∮ (x dy - y dx) over the intersection boundary, which
@@ -248,6 +263,9 @@ def quad_iou(p, q, eps=1e-7, method: str = "clip"):
         inter = quad_intersection_area(p, q, eps)
     pa = jnp.abs(_signed_area_verts(p.reshape(p.shape[:-1] + (4, 2))))
     qa = jnp.abs(_signed_area_verts(q.reshape(q.shape[:-1] + (4, 2))))
+    # inter <= min(pa, qa) holds in real arithmetic; enforcing it bounds
+    # numerical noise so union > 0 and IoU <= 1 for any non-degenerate pair.
+    inter = jnp.minimum(inter, jnp.minimum(pa, qa))
     union = pa + qa - inter
     return jnp.where(union == 0.0, (inter + 1.0) / (union + 1.0), inter / union)
 

@@ -80,54 +80,65 @@ def sort_quadrilateral(corners):
     n = c.shape[0]
 
     # ---- decision phase (index computation, no gradient needed) ----------
-    # All gathers live under stop_gradient: the permutation CHOICE is a
-    # discrete decision; differentiating through value-gathers here would
-    # emit scatter-adds in the backward pass (~70 ms/step on v5e for the
-    # dense 21k-location loss). The values themselves are permuted below
-    # with a one-hot matmul whose backward is another tiny matmul.
+    # Everything here is pure arithmetic over the 4-wide minor axis: no
+    # sorts, no take_along_axis gathers, no dynamic one_hot.  Row-gathers /
+    # tiny-minor-dim sorts over ~170k rows cost ~15 ms/step on v5e (measured
+    # in PROFILE_TRAIN.json — they were the single hottest op of the whole
+    # train step); the same decisions as mask-reductions are ~free.  The
+    # permutation CHOICE is discrete, so it lives under stop_gradient; the
+    # values are permuted at the end with a one-hot matmul whose backward is
+    # another tiny matmul (a scatter-add-free gradient).
     cd = jax.lax.stop_gradient(c)
     ar4 = jnp.arange(4)
+    f32 = cd.dtype
 
     left_idx = jnp.argmin(cd[:, :, 0], axis=1)  # first min index on ties
-    p1 = jnp.take_along_axis(cd, left_idx[:, None, None], axis=1)[:, 0]
+    oh_left = ar4[None, :] == left_idx[:, None]  # [N, 4] bool
+    p1 = jnp.einsum("nj,njc->nc", oh_left.astype(f32), cd)
 
-    # Remaining 3 vertices in original relative order.
-    keep = ar4[None, :] != left_idx[:, None]  # [N,4]
-    rem_idx = jnp.sort(jnp.where(keep, ar4[None, :], 99), axis=1)[:, :3]
-    rem = jnp.take_along_axis(cd, rem_idx[:, :, None], axis=1)  # [N,3,2]
+    v = cd - p1[:, None, :]  # [N, 4, 2]; v[left] = 0
+    # cross[j, k] = cross2d(v_j, v_k) for all vertex pairs
+    cross = (
+        v[:, :, None, 0] * v[:, None, :, 1]
+        - v[:, :, None, 1] * v[:, None, :, 0]
+    )  # [N, 4, 4]
 
-    # Diagonal detection: candidate i is the diagonal partner if the other
-    # two lie on opposite sides of line (p1, rem_i).
-    v = rem - p1[:, None, :]  # [N,3,2]
+    # Diagonal detection: candidate j (j != left) is the diagonal partner if
+    # the other two remaining vertices lie on opposite sides of line
+    # (p1, c_j), i.e. the product of their crosses with v_j is negative.
+    not_left = ~oh_left
+    others = not_left[:, None, :] & ~jnp.eye(4, dtype=bool)[None]  # [N,j,k]
+    pair_prod = jnp.prod(jnp.where(others, cross, 1.0), axis=2)  # [N, 4]
+    cond = (pair_prod < 0.0) & not_left
 
-    def _cond(i, a, b):
-        return _cross2d(v[:, i], v[:, a]) * _cross2d(v[:, i], v[:, b]) < 0.0
+    # First j in original index order (remaining vertices keep original
+    # relative order, so this equals the reference's first-in-rem-order);
+    # fallback when no diagonal is found: the first remaining vertex.
+    first_rem = jnp.argmax(not_left, axis=1)
+    idx_p3 = jnp.where(jnp.any(cond, axis=1), jnp.argmax(cond, axis=1), first_rem)
+    oh_p3 = ar4[None, :] == idx_p3[:, None]
 
-    conds = jnp.stack([_cond(0, 1, 2), _cond(1, 0, 2), _cond(2, 0, 1)], axis=1)
-    first = jnp.argmax(conds, axis=1)  # first True; 0 if none (fallback)
+    # The two leftover candidates in original order: first True index and
+    # (sum of True indices - first).
+    leftover = not_left & ~oh_p3  # [N, 4], exactly two True
+    idx_a = jnp.argmax(leftover, axis=1)
+    idx_b = jnp.sum(ar4[None, :] * leftover, axis=1) - idx_a
+    oh_a = ar4[None, :] == idx_a[:, None]
+    oh_b = ar4[None, :] == idx_b[:, None]
 
-    p3 = jnp.take_along_axis(rem, first[:, None, None], axis=1)[:, 0]
-    # The two leftover candidates, preserving original order:
-    # first==0 -> (1,2); first==1 -> (0,2); first==2 -> (0,1)
-    a_idx = jnp.where(first == 0, 1, 0)
-    b_idx = jnp.where(first == 2, 1, 2)
-    sa = jnp.take_along_axis(rem, a_idx[:, None, None], axis=1)[:, 0]
-    sb = jnp.take_along_axis(rem, b_idx[:, None, None], axis=1)[:, 0]
-
-    diag = p3 - p1
-    ca = _cross2d(diag, sa - p1)
-    cb = _cross2d(diag, sb - p1)
+    # ca = cross(p3 - p1, sa - p1) = cross[p3, a] (and likewise cb), read
+    # from the cross matrix by mask-reduction.
+    wa = (oh_p3[:, :, None] & oh_a[:, None, :]).astype(f32)
+    wb = (oh_p3[:, :, None] & oh_b[:, None, :]).astype(f32)
+    ca = jnp.sum(wa * cross, axis=(1, 2))
+    cb = jnp.sum(wb * cross, axis=(1, 2))
     take_a = (ca > 0.0) | ((ca <= 0.0) & (cb <= 0.0))
 
-    idx_p3 = jnp.take_along_axis(rem_idx, first[:, None], axis=1)[:, 0]
-    idx_a = jnp.take_along_axis(rem_idx, a_idx[:, None], axis=1)[:, 0]
-    idx_b = jnp.take_along_axis(rem_idx, b_idx[:, None], axis=1)[:, 0]
-    idx_p2 = jnp.where(take_a, idx_a, idx_b)
-    idx_p4 = jnp.where(take_a, idx_b, idx_a)
+    oh_p2 = jnp.where(take_a[:, None], oh_a, oh_b)
+    oh_p4 = jnp.where(take_a[:, None], oh_b, oh_a)
 
     # ---- value phase: permutation as a one-hot matmul --------------------
-    perm = jnp.stack([left_idx, idx_p2, idx_p3, idx_p4], axis=1)  # [N, 4]
-    p = jax.nn.one_hot(perm, 4, dtype=c.dtype)  # [N, 4out, 4in]
+    p = jnp.stack([oh_left, oh_p2, oh_p3, oh_p4], axis=1).astype(c.dtype)
     out = jnp.einsum("nij,njc->nic", p, c).reshape(n, 8)
     return out.reshape(shape)
 

@@ -49,14 +49,22 @@ def _edge_integral_block(ax, ay, bx, by, qx, qy, eps, include_boundary):
         # num = cross(e, a - q_k); den = cross(e, d)
         num = ex * (ay - qy[k]) - ey * (ax - qx[k])
         den = ex * dy - ey * dx
-        par = jnp.abs(den) <= eps
+        # scale-relative tolerances (see geometry/iou.py
+        # _clipped_edge_integral): FMA residue on coincident edges is
+        # O(ulp * |e||d|), so absolute thresholds miss the parallel branch
+        # and double-count shared boundary
+        den_tol = eps * (jnp.abs(ex * dy) + jnp.abs(ey * dx))
+        num_tol = eps * (
+            jnp.abs(ex * (ay - qy[k])) + jnp.abs(ey * (ax - qx[k]))
+        )
+        par = jnp.abs(den) <= den_tol
         ratio = -num / jnp.where(par, 1.0, den)
-        t_low = jnp.where(den > eps, jnp.maximum(t_low, ratio), t_low)
-        t_high = jnp.where(den < -eps, jnp.minimum(t_high, ratio), t_high)
-        outside = par & (num < 0)
+        t_low = jnp.where(den > den_tol, jnp.maximum(t_low, ratio), t_low)
+        t_high = jnp.where(den < -den_tol, jnp.minimum(t_high, ratio), t_high)
+        outside = par & (num < -num_tol)
         if not include_boundary:
             same_dir = (ex * dx + ey * dy) > 0
-            outside = outside | (par & (jnp.abs(num) <= eps) & same_dir)
+            outside = outside | (par & (jnp.abs(num) <= num_tol) & same_dir)
         alive = alive & ~outside
     pax = ax + t_low * dx
     pay = ay + t_low * dy
@@ -107,7 +115,11 @@ def _suppress_kernel(rows_c_ref, rows_k_ref, cols_ct_ref, cols_kt_ref,
             )
         inter = jnp.maximum(inter, 0.0)
 
-        union = _shoelace4(px, py) + _shoelace4(qx, qy) - inter
+        pa = _shoelace4(px, py)  # [TILE, 1]
+        qa = _shoelace4(qx, qy)  # [1, TILE]
+        # inter <= min(pa, qa) in real arithmetic; enforce to keep union > 0
+        inter = jnp.minimum(inter, jnp.minimum(pa, qa))
+        union = pa + qa - inter
         iou = jnp.where(
             union == 0.0, (inter + 1.0) / (union + 1.0), inter / union
         )
@@ -123,7 +135,7 @@ def suppression_matrix(
     corners: jnp.ndarray,  # [N, 8] f32, score-sorted desc, CCW order
     classes: jnp.ndarray,  # [N] i32 (already class-merged)
     iou_threshold: float,
-    eps: float = 1e-9,
+    eps: float = 1e-6,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """S [N, N] int8; requires N % TILE == 0 (pad outside)."""

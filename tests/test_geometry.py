@@ -277,6 +277,55 @@ def test_iou_matrix_symmetry():
     np.testing.assert_allclose(np.diag(m), np.ones(20), atol=1e-4)
 
 
+def test_iou_matrix_chunked_matches_dense():
+    """Regression: the chunked (lax.map) path must agree with the dense path,
+    INCLUDING self-pairs and near-duplicates.
+
+    The clip integral's parallel-edge detection used absolute epsilons; FMA
+    contraction under lax.map left O(ulp * coord^2) residue in `den` for
+    coincident edges, double-counting shared boundary and producing garbage
+    self-IoU (observed: -3.56, 1141.0 at image-scale coords).  Fixed with
+    scale-relative tolerances + the inter <= min(area) clamp.
+    """
+    rng = np.random.RandomState(7)
+    # image-scale coordinates maximize the FMA residue
+    p = random_convex_quads(300, rng, scale=1000.0).astype(np.float32)
+    dense = np.asarray(quad_iou_matrix(jnp.asarray(p), jnp.asarray(p), chunk=None))
+    chunked = np.asarray(quad_iou_matrix(jnp.asarray(p), jnp.asarray(p), chunk=64))
+    np.testing.assert_allclose(chunked, dense, atol=1e-3)
+    np.testing.assert_allclose(np.diag(chunked), np.ones(300), atol=1e-3)
+    # near-duplicates (sub-pixel perturbation) must score IoU ~ 1, never > 1
+    q = p + rng.uniform(-0.01, 0.01, p.shape).astype(np.float32)
+    pairs = np.asarray(quad_iou(jnp.asarray(p), jnp.asarray(q)))
+    assert pairs.min() > 0.99 and pairs.max() <= 1.0 + 1e-5
+
+
+def test_nms_duplicate_boxes_suppressed():
+    """Exact duplicates and near-duplicates must suppress (keep exactly 1)."""
+    from dafne_tpu.ops.nms import rotated_nms
+
+    rng = np.random.RandomState(3)
+    base = random_convex_quads(8, rng, scale=1000.0).astype(np.float32)
+    # 8 distinct boxes x 4 copies each (2 exact, 2 jittered)
+    quads = np.concatenate(
+        [
+            base,
+            base,
+            base + rng.uniform(-0.5, 0.5, base.shape).astype(np.float32),
+            base + rng.uniform(-0.5, 0.5, base.shape).astype(np.float32),
+        ]
+    )
+    n = quads.shape[0]
+    scores = jnp.asarray(rng.uniform(0.1, 1.0, n).astype(np.float32))
+    classes = jnp.zeros(n, jnp.int32)
+    keep = np.asarray(
+        rotated_nms(
+            jnp.asarray(quads), scores, classes, jnp.ones(n, bool), 0.5
+        )
+    )
+    assert keep.sum() == 8, f"kept {keep.sum()} of {n}, expected 8 groups"
+
+
 def test_polyiou_np_pairs_and_matrix_consistent():
     rng = np.random.RandomState(13)
     p = random_convex_quads(10, rng)

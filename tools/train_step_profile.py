@@ -183,6 +183,103 @@ def main():
         float(c)
         return (time.perf_counter() - t0) / ITERS * 1000.0
 
+    if "assign_only" in phases:
+        aspec = AssignmentSpec.from_config(cfg)
+        tables = make_location_tables((HW, HW), aspec)
+        from dafne_tpu.ops.targets import assign_targets
+
+        def assign_only(carry, b):
+            t = assign_targets(
+                tables[1], tables[2], tables[3],
+                b["gt_corners"] + carry * 0.0, b["gt_hbox"], b["gt_classes"],
+                b["gt_area"], b["gt_valid"], aspec,
+            )
+            return sum(jnp.sum(v.astype(jnp.float32)) for v in t.values())
+
+        results["assign_only_ms"] = round(
+            timed_chain(jax.jit(assign_only), batch), 1
+        )
+        print("assign_only", results["assign_only_ms"], flush=True)
+
+    if "losses_only" in phases or "losses_grad" in phases:
+        # head outputs captured once; time flatten+losses in isolation
+        aspec = AssignmentSpec.from_config(cfg)
+        lspec = LossSpec.from_config(cfg)
+        tables = make_location_tables((HW, HW), aspec)
+        from dafne_tpu.ops.targets import assign_targets, flatten_levels
+
+        out = jax.jit(lambda p, im: model.apply({"params": p}, im))(
+            params, batch["image"]
+        )
+        jax.block_until_ready(out)
+        targets = jax.jit(
+            lambda b: assign_targets(
+                tables[1], tables[2], tables[3], b["gt_corners"], b["gt_hbox"],
+                b["gt_classes"], b["gt_area"], b["gt_valid"], aspec,
+            )
+        )(batch)
+        jax.block_until_ready(targets)
+        from dafne_tpu.ops.losses import dafne_losses
+
+        def loss_of(out_, targets_):
+            logits = flatten_levels(out_["logits"], lspec.num_classes)
+            corners = flatten_levels(out_["corners"], 8)
+            center = (
+                flatten_levels(out_["center"], 2)
+                if out_["center"][0] is not None else None
+            )
+            ctr = flatten_levels(out_["ctrness"], 1)[..., 0]
+            return dafne_losses(logits, corners, center, ctr, targets_, lspec)[
+                "loss/total"
+            ]
+
+        if "losses_only" in phases:
+            def losses_only(carry, out_, targets_):
+                out_ = jax.tree_util.tree_map(lambda x: x + carry * 0.0, out_)
+                return loss_of(out_, targets_).astype(jnp.float32)
+
+            results["losses_only_ms"] = round(
+                timed_chain(jax.jit(losses_only), out, targets), 1
+            )
+            print("losses_only", results["losses_only_ms"], flush=True)
+
+        if "losses_grad" in phases:
+            def losses_grad(carry, out_, targets_):
+                out_ = jax.tree_util.tree_map(lambda x: x + carry * 0.0, out_)
+                l, g = jax.value_and_grad(lambda o: loss_of(o, targets_))(out_)
+                return l + sum(
+                    jnp.sum(x).astype(jnp.float32)
+                    for x in jax.tree_util.tree_leaves(g)
+                )
+
+            results["losses_grad_ms"] = round(
+                timed_chain(jax.jit(losses_grad), out, targets), 1
+            )
+            print("losses_grad", results["losses_grad_ms"], flush=True)
+
+    if "model_grad" in phases:
+        # fwd+bwd of the model alone under a trivial scalar loss: isolates
+        # conv backward cost from the assignment/loss path
+        def triv(params, image):
+            out = model.apply({"params": params}, image)
+            return sum(
+                jnp.sum(o.astype(jnp.float32))
+                for k in ("logits", "corners", "ctrness")
+                for o in out[k]
+            )
+
+        def model_grad(carry, params, image):
+            l, g = jax.value_and_grad(triv)(params, image + carry * 0.0)
+            return l + sum(
+                jnp.sum(x).astype(jnp.float32)
+                for x in jax.tree_util.tree_leaves(g)
+            )
+
+        results["model_grad_ms"] = round(
+            timed_chain(jax.jit(model_grad), params, batch["image"]), 1
+        )
+        print("model_grad", results["model_grad_ms"], flush=True)
+
     if "train_step" in phases:
         results["train_step_ms"] = round(full_step_ms(flagship_cfg()), 1)
         print("train_step", results["train_step_ms"], flush=True)
@@ -204,6 +301,11 @@ def main():
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "PROFILE_TRAIN.json",
     )
+    if os.path.exists(out):  # merge so partial-phase runs accumulate
+        with open(out) as f:
+            prev = json.load(f)
+        prev.update(results)
+        results = prev
     with open(out, "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps(results))
