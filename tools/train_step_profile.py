@@ -280,6 +280,126 @@ def main():
         )
         print("model_grad", results["model_grad_ms"], flush=True)
 
+    if "eval_full" in phases:
+        from dafne_tpu.engine.trainer import make_eval_step
+
+        eval_step = jax.jit(make_eval_step(model, cfg, (HW, HW)))
+
+        def eval_full(carry, params, image):
+            out = eval_step(params, image + carry * 0.0)
+            return (jnp.sum(out["scores"]) + jnp.sum(out["corners"])).astype(
+                jnp.float32
+            )
+
+        results["eval_full_ms"] = round(
+            timed_chain(jax.jit(eval_full), params, batch["image"]), 1
+        )
+        print("eval_full", results["eval_full_ms"], flush=True)
+
+    if (
+        "nms_only" in phases
+        or "suppression_only" in phases
+        or "greedy_only" in phases
+    ):
+        # realistic NMS input: clusters of near-duplicate candidate quads
+        from dafne_tpu.ops.nms import rotated_nms_batched
+        from dafne_tpu.ops.pallas.quad_nms import greedy_scan, suppression_matrix
+
+        m = int(flagship_cfg().TPU.NMS_MAX_CANDIDATES)
+        n_obj = m // 16
+        cx, cy = rng.uniform(100, HW - 100, (2, BATCH, n_obj, 1))
+        w_, h_ = rng.uniform(16, 120, (2, BATCH, n_obj, 1))
+        th = rng.uniform(0, np.pi, (BATCH, n_obj, 1))
+        cx = cx + rng.randn(BATCH, n_obj, 16) * 4
+        cy = cy + rng.randn(BATCH, n_obj, 16) * 4
+        dxs = np.stack([-w_, w_, w_, -w_], -1) / 2 + 0 * th[..., None]
+        dys = np.stack([-h_, -h_, h_, h_], -1) / 2 + 0 * th[..., None]
+        cth, sth = np.cos(th)[..., None], np.sin(th)[..., None]
+        quads = np.stack(
+            [cx[..., None] + dxs * cth - dys * sth,
+             cy[..., None] + dxs * sth + dys * cth], -1
+        ).reshape(BATCH, m, 8).astype(np.float32)
+        corners = jnp.asarray(quads)
+        scores = jnp.asarray(rng.rand(BATCH, m).astype(np.float32))
+        classes = jnp.asarray(rng.randint(0, 15, (BATCH, m)).astype(np.int32))
+        valid = jnp.ones((BATCH, m), bool)
+
+        if "nms_only" in phases:
+            def nms_only(carry, c_, s_, k_, v_):
+                keep = rotated_nms_batched(
+                    c_ + carry * 0.0, s_, k_, v_, 0.1, ((5, 4),)
+                )
+                return jnp.sum(keep.astype(jnp.float32))
+
+            results["nms_only_ms"] = round(
+                timed_chain(jax.jit(nms_only), corners, scores, classes, valid),
+                1,
+            )
+            print("nms_only", results["nms_only_ms"], flush=True)
+
+        if "suppression_only" in phases:
+            def supp_only(carry, c_, k_):
+                f = jax.vmap(lambda cc, kk: suppression_matrix(cc, kk, 0.1))
+                s = f(c_ + carry * 0.0, k_)
+                return jnp.sum(s.astype(jnp.float32))
+
+            results["suppression_only_ms"] = round(
+                timed_chain(jax.jit(supp_only), corners, classes), 1
+            )
+            print("suppression_only", results["suppression_only_ms"], flush=True)
+
+        if "greedy_only" in phases:
+            f = jax.jit(
+                jax.vmap(lambda cc, kk: suppression_matrix(cc, kk, 0.1))
+            )
+            smat = f(corners, classes)
+            jax.block_until_ready(smat)
+
+            def greedy_only(carry, s_, v_):
+                s_ = s_ + carry.astype(jnp.int8) * 0
+                keep = jax.vmap(greedy_scan)(s_, v_)
+                return jnp.sum(keep.astype(jnp.float32))
+
+            results["greedy_only_ms"] = round(
+                timed_chain(jax.jit(greedy_only), smat, valid), 1
+            )
+            print("greedy_only", results["greedy_only_ms"], flush=True)
+
+    if "decode_only" in phases or "decode_no_sort" in phases:
+        from dafne_tpu.engine.trainer import make_location_tables
+        from dafne_tpu.ops.postprocess import DecodeSpec, decode_detections
+
+        aspec = AssignmentSpec.from_config(cfg)
+        locs_list, *_ = make_location_tables((HW, HW), aspec)
+        out = jax.jit(lambda p, im: model.apply({"params": p}, im))(
+            params, batch["image"]
+        )
+        jax.block_until_ready(out)
+
+        def run_decode(spec_):
+            def decode_only(carry, out_):
+                out_ = jax.tree_util.tree_map(lambda x: x + carry * 0.0, out_)
+                d = decode_detections(out_, locs_list, spec_)
+                return (jnp.sum(d["scores"]) + jnp.sum(d["corners"])).astype(
+                    jnp.float32
+                )
+
+            return timed_chain(jax.jit(decode_only), out)
+
+        if "decode_only" in phases:
+            results["decode_only_ms"] = round(
+                run_decode(DecodeSpec.from_config(cfg, train=False)), 1
+            )
+            print("decode_only", results["decode_only_ms"], flush=True)
+        if "decode_no_sort" in phases:
+            import dataclasses as _dc
+
+            spec_ns = _dc.replace(
+                DecodeSpec.from_config(cfg, train=False), sort_corners=False
+            )
+            results["decode_no_sort_ms"] = round(run_decode(spec_ns), 1)
+            print("decode_no_sort", results["decode_no_sort_ms"], flush=True)
+
     if "train_step" in phases:
         results["train_step_ms"] = round(full_step_ms(flagship_cfg()), 1)
         print("train_step", results["train_step_ms"], flush=True)
