@@ -242,5 +242,7 @@ def build_defaults() -> CfgNode:
     t.PREFETCH_DEPTH = 2  # host->device prefetch buffer
     t.DONATE_STATE = True  # donate train state buffers in the jitted step
     t.REMAT_BACKBONE = False  # jax.checkpoint over backbone stages
+    t.STEM_SPACE_TO_DEPTH = True  # lower the 7x7/2 stem conv as
+    # space-to-depth + 4x4/1 (identical function, ~4x better MXU use)
 
     return _C

@@ -62,6 +62,7 @@ def build_model(cfg) -> OneStageDetector:
         res2_out_channels=cfg.MODEL.RESNETS.RES2_OUT_CHANNELS,
         stride_in_1x1=cfg.MODEL.RESNETS.STRIDE_IN_1X1,
         deform_interval=deform_interval,
+        stem_space_to_depth=bool(cfg.TPU.get("STEM_SPACE_TO_DEPTH", True)),
         fpn_out_channels=cfg.MODEL.FPN.OUT_CHANNELS,
         top_levels=d.TOP_LEVELS,
         num_classes=d.NUM_CLASSES,

@@ -45,6 +45,7 @@ class OneStageDetector(nn.Module):
     res2_out_channels: int = 256
     stride_in_1x1: bool = True
     deform_interval: int = 0
+    stem_space_to_depth: bool = True  # TPU.STEM_SPACE_TO_DEPTH
     # fpn
     fpn_out_channels: int = 256
     top_levels: int = 2  # 2 -> P6P7, 1 -> P6, 0 -> none
@@ -87,6 +88,7 @@ class OneStageDetector(nn.Module):
                 res2_out_channels=self.res2_out_channels,
                 stride_in_1x1=self.stride_in_1x1,
                 deform_interval=self.deform_interval,
+                stem_space_to_depth=self.stem_space_to_depth,
             )
         elif self.backbone_kind == "resnet_lpf":
             from dafne_tpu.models.backbones import ResNetLPF

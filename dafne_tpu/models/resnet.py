@@ -58,6 +58,56 @@ class FrozenBN(nn.Module):
         return x * mul + add
 
 
+class SpaceToDepthStemConv(nn.Module):
+    """The 7x7/2 stem conv, lowered as space-to-depth + 4x4/1 conv.
+
+    A direct 7x7 stride-2 conv over 3-channel input leaves the MXU's
+    128-deep reduction dimension ~97% idle (C_in=3); measured on v5e it was
+    the single most expensive conv of the whole network (~8 ms fwd for
+    batch 8 @1024^2 — see PROFILE_TRAIN.json / README).  Folding 2x2 pixel
+    blocks into channels (H,W,3) -> (H/2,W/2,12) and re-indexing the kernel
+    as [4,4,12,C] (tap di = 2a+p-1: kernel zero-padded by one row/col at the
+    front, then block-reshaped) yields the SAME function — every original
+    tap (di,dj) appears exactly once — with 4x the reduction depth and a
+    stride-1 conv.  The parameter stays "kernel" [7,7,C_in,C] so Detectron2
+    checkpoint import and param trees are unchanged.
+    """
+
+    features: int
+    dtype: Any = jnp.float32
+    space_to_depth: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        c_in = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (7, 7, c_in, self.features),
+        )
+        n, h, w, _ = x.shape
+        x = x.astype(self.dtype)
+        kernel = kernel.astype(self.dtype)
+        if not self.space_to_depth or h % 2 or w % 2:
+            return jax.lax.conv_general_dilated(
+                x, kernel, (2, 2), ((3, 3), (3, 3)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        x2 = x.reshape(n, h // 2, 2, w // 2, 2, c_in)
+        x2 = x2.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2, 4 * c_in)
+        # di = 2a + p - 1 (a: block-space tap, p: pixel phase); pad so the
+        # front row/col (di = -1) is zero, then split even/odd phases
+        k = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))  # [8,8,ci,co]
+        k2 = k.reshape(4, 2, 4, 2, c_in, self.features)
+        k2 = k2.transpose(0, 2, 1, 3, 4, 5).reshape(
+            4, 4, 4 * c_in, self.features
+        )
+        return jax.lax.conv_general_dilated(
+            x2, k2, (1, 1), ((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+
 def _conv(features, kernel, stride=1, name=None, dtype=jnp.float32):
     return nn.Conv(
         features,
@@ -167,6 +217,7 @@ class ResNet(nn.Module):
     res5_dilation: int = 1
     freeze_at: int = 2
     deform_interval: int = 0  # >0: every k-th bottleneck uses a deformable 3x3
+    stem_space_to_depth: bool = True  # TPU.STEM_SPACE_TO_DEPTH
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -175,14 +226,11 @@ class ResNet(nn.Module):
         use_bottleneck = self.depth >= 50
 
         # --- stem: 7x7/2 conv + 3x3/2 maxpool --------------------------------
-        y = nn.Conv(
+        y = SpaceToDepthStemConv(
             self.stem_out_channels,
-            (7, 7),
-            strides=(2, 2),
-            padding=[(3, 3), (3, 3)],
-            use_bias=False,
-            name="stem_conv1",
             dtype=self.dtype,
+            space_to_depth=self.stem_space_to_depth,
+            name="stem_conv1",
         )(x)
         y = FrozenBN(self.stem_out_channels, dtype=self.dtype, name="stem_conv1_norm")(y)
         y = nn.relu(y)

@@ -77,6 +77,39 @@ def synthetic_batch(n=2, hw=128, max_inst=8, num_classes=3, seed=0):
     }
 
 
+def test_stem_space_to_depth_exact():
+    """The space-to-depth stem lowering computes the identical function to
+    the plain 7x7/2 conv (same param, both paths of SpaceToDepthStemConv)."""
+    from dafne_tpu.models.resnet import SpaceToDepthStemConv
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 64, 96, 3).astype(np.float32))
+    mod_s2d = SpaceToDepthStemConv(16, space_to_depth=True)
+    mod_ref = SpaceToDepthStemConv(16, space_to_depth=False)
+    params = mod_ref.init(jax.random.PRNGKey(0), x)["params"]
+    y_ref = mod_ref.apply({"params": params}, x)
+    y_s2d = mod_s2d.apply({"params": params}, x)
+    assert y_ref.shape == y_s2d.shape == (2, 32, 48, 16)
+    np.testing.assert_allclose(
+        np.asarray(y_s2d), np.asarray(y_ref), atol=1e-4, rtol=1e-4
+    )
+    # odd input falls back to the plain path (shape sanity)
+    x_odd = jnp.asarray(rng.randn(1, 63, 96, 3).astype(np.float32))
+    y_odd = mod_s2d.apply({"params": params}, x_odd)
+    assert y_odd.shape == (1, 32, 48, 16)
+    # gradients flow through the folded kernel identically
+    g_ref = jax.grad(
+        lambda p: jnp.sum(mod_ref.apply({"params": p}, x) ** 2)
+    )(params)
+    g_s2d = jax.grad(
+        lambda p: jnp.sum(mod_s2d.apply({"params": p}, x) ** 2)
+    )(params)
+    np.testing.assert_allclose(
+        np.asarray(g_s2d["kernel"]), np.asarray(g_ref["kernel"]),
+        atol=1e-3, rtol=1e-3,
+    )
+
+
 def test_forward_shapes():
     cfg = tiny_cfg()
     model = build_model(cfg)
