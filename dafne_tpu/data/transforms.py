@@ -203,7 +203,18 @@ def build_train_augmentations(cfg, w: int, h: int, rng: np.random.RandomState) -
             aug = aug.compose(rotation(aug.out_w, aug.out_h, angle))
     if cfg.INPUT.RESIZE_TYPE == "shortest-edge":
         sizes = list(cfg.INPUT.MIN_SIZE_TRAIN)
-        min_size = int(sizes[rng.randint(len(sizes))]) if sizes else min(w, h)
+        if not sizes:
+            min_size = min(w, h)
+        elif (
+            cfg.INPUT.get("MIN_SIZE_TRAIN_SAMPLING", "choice") == "range"
+            and len(sizes) == 2
+        ):
+            # Detectron2 ResizeShortestEdge "range": uniform int in
+            # [min, max] (d2 augmentation_impl.py semantics; unused by every
+            # shipped recipe but part of the INPUT.* surface)
+            min_size = int(rng.randint(int(sizes[0]), int(sizes[1]) + 1))
+        else:
+            min_size = int(sizes[rng.randint(len(sizes))])
         aug = aug.compose(
             shortest_edge_resize(
                 aug.out_w, aug.out_h, min_size, cfg.INPUT.MAX_SIZE_TRAIN

@@ -59,6 +59,34 @@ def test_shortest_edge_resize():
     assert aug2.out_w == 80
 
 
+def test_min_size_train_range_sampling():
+    """INPUT.MIN_SIZE_TRAIN_SAMPLING=range draws uniform shortest edges in
+    [lo, hi] (Detectron2 ResizeShortestEdge 'range' semantics)."""
+    cfg = syn_cfg()
+    cfg.defrost()
+    cfg.INPUT.RESIZE_TYPE = "shortest-edge"
+    cfg.INPUT.MIN_SIZE_TRAIN = (400, 800)
+    cfg.INPUT.MIN_SIZE_TRAIN_SAMPLING = "range"
+    cfg.INPUT.MAX_SIZE_TRAIN = 4000
+    cfg.INPUT.ROTATION_AUG_ANGLES = []
+    cfg.freeze()
+    rng = np.random.RandomState(0)
+    edges = set()
+    for _ in range(64):
+        aug = T.build_train_augmentations(cfg, 1000, 1200, rng)
+        edge = min(aug.out_w, aug.out_h)
+        assert 400 <= edge <= 800
+        edges.add(edge)
+    assert len(edges) > 10, "range sampling should produce many sizes"
+    # choice mode only ever picks the listed values
+    cfg.defrost()
+    cfg.INPUT.MIN_SIZE_TRAIN_SAMPLING = "choice"
+    cfg.freeze()
+    for _ in range(16):
+        aug = T.build_train_augmentations(cfg, 1000, 1200, rng)
+        assert min(aug.out_w, aug.out_h) in (400, 800)
+
+
 def test_affine_image_matches_coords():
     import cv2
 
