@@ -27,4 +27,31 @@ def pin_platform_from_env() -> str:
         import jax
 
         jax.config.update("jax_platforms", plat)
+    setup_compilation_cache()
     return plat or os.environ.get("JAX_PLATFORMS", "")
+
+
+def setup_compilation_cache() -> str:
+    """Enable JAX's persistent compilation cache for the CLI tools.
+
+    First compile of the full detector program takes 1-5 minutes on the
+    remote-compile TPU toolchain; the persistent cache makes restarts and
+    repeated eval runs near-instant (the test suite already uses one,
+    tests/conftest.py).  Opt out with DAFNE_COMPILE_CACHE=0, or point
+    DAFNE_COMPILE_CACHE at a custom directory.  Returns the cache dir
+    ("" when disabled).
+    """
+    env = os.environ.get("DAFNE_COMPILE_CACHE", "").strip()
+    if env == "0":
+        return ""
+    cache_dir = env or os.path.expanduser("~/.cache/dafne_tpu/jax")
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # cache is best-effort; never block the tool
+        return ""
+    return cache_dir
