@@ -203,15 +203,19 @@ def build_train_augmentations(cfg, w: int, h: int, rng: np.random.RandomState) -
             aug = aug.compose(rotation(aug.out_w, aug.out_h, angle))
     if cfg.INPUT.RESIZE_TYPE == "shortest-edge":
         sizes = list(cfg.INPUT.MIN_SIZE_TRAIN)
+        sampling = cfg.INPUT.get("MIN_SIZE_TRAIN_SAMPLING", "choice")
         if not sizes:
             min_size = min(w, h)
-        elif (
-            cfg.INPUT.get("MIN_SIZE_TRAIN_SAMPLING", "choice") == "range"
-            and len(sizes) == 2
-        ):
+        elif sampling == "range":
             # Detectron2 ResizeShortestEdge "range": uniform int in
             # [min, max] (d2 augmentation_impl.py semantics; unused by every
-            # shipped recipe but part of the INPUT.* surface)
+            # shipped recipe but part of the INPUT.* surface).  d2 asserts
+            # len == 2; fail loudly instead of silently degrading.
+            if len(sizes) != 2 or sizes[0] > sizes[1]:
+                raise ValueError(
+                    "INPUT.MIN_SIZE_TRAIN_SAMPLING='range' requires "
+                    f"MIN_SIZE_TRAIN = (lo, hi) with lo <= hi, got {sizes}"
+                )
             min_size = int(rng.randint(int(sizes[0]), int(sizes[1]) + 1))
         else:
             min_size = int(sizes[rng.randint(len(sizes))])

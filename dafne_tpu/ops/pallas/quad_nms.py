@@ -8,8 +8,11 @@ kernel, NMS is split into
       suppress box j" over [TILE, TILE] blocks, with all intermediates kept
       in VMEM/registers (the XLA version streams ~30 [chunk, N] f32 buffers
       through HBM), and
-  (B) a cheap sequential greedy scan over rows (lax.fori_loop), identical to
-      the bitmask walk the CUDA wrapper does.
+  (B) a Jacobi fixed-point iteration over the suppression matrix
+      (`greedy_scan`) that provably converges to the same keep-set the CUDA
+      wrapper's sequential bitmask walk produces, in
+      longest-suppression-chain iterations of one MXU mat-vec each (the
+      trip count is data-dependent; typically < 10).
 
 Exact IoU uses the same boundary line-integral formulation as
 dafne_tpu.geometry.iou.quad_intersection_area_clip (Cyrus-Beck parametric

@@ -52,6 +52,13 @@ def setup_compilation_cache() -> str:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    except Exception:  # cache is best-effort; never block the tool
+    except Exception as e:  # cache is best-effort; never block the tool
+        import sys
+
+        print(
+            f"[dafne_tpu] persistent compile cache disabled ({cache_dir}: "
+            f"{e}); first compiles will not be cached",
+            file=sys.stderr,
+        )
         return ""
     return cache_dir

@@ -323,6 +323,19 @@ def main():
         scores = jnp.asarray(rng.rand(BATCH, m).astype(np.float32))
         classes = jnp.asarray(rng.randint(0, 15, (BATCH, m)).astype(np.int32))
         valid = jnp.ones((BATCH, m), bool)
+        # suppression_matrix's documented precondition (and the production
+        # path through rotated_nms): rows score-sorted desc, CCW order —
+        # chain depth (greedy_scan's trip count) depends on it
+        from dafne_tpu.ops.nms import _as_ccw_rows
+
+        order = np.argsort(-np.asarray(scores), axis=1)
+        sorted_corners = jnp.asarray(
+            np.take_along_axis(quads, order[:, :, None], axis=1)
+        )
+        sorted_corners = jax.vmap(_as_ccw_rows)(sorted_corners)
+        sorted_classes = jnp.asarray(
+            np.take_along_axis(np.asarray(classes), order, axis=1)
+        )
 
         if "nms_only" in phases:
             def nms_only(carry, c_, s_, k_, v_):
@@ -344,7 +357,8 @@ def main():
                 return jnp.sum(s.astype(jnp.float32))
 
             results["suppression_only_ms"] = round(
-                timed_chain(jax.jit(supp_only), corners, classes), 1
+                timed_chain(jax.jit(supp_only), sorted_corners, sorted_classes),
+                1,
             )
             print("suppression_only", results["suppression_only_ms"], flush=True)
 
@@ -352,7 +366,7 @@ def main():
             f = jax.jit(
                 jax.vmap(lambda cc, kk: suppression_matrix(cc, kk, 0.1))
             )
-            smat = f(corners, classes)
+            smat = f(sorted_corners, sorted_classes)
             jax.block_until_ready(smat)
 
             def greedy_only(carry, s_, v_):
@@ -399,6 +413,47 @@ def main():
             )
             results["decode_no_sort_ms"] = round(run_decode(spec_ns), 1)
             print("decode_no_sort", results["decode_no_sort_ms"], flush=True)
+
+    if "tta_r101" in phases:
+        # VERDICT r1 #3 done-criterion: the headline dota-1.0_r101_ms TTA aug
+        # set must run on ONE chip without OOM via the bucketed eval steps.
+        from dafne_tpu.config import load_config
+        from dafne_tpu.engine.tta import (
+            BucketedEvalSteps, build_tta_augs, tta_inference_single,
+        )
+
+        cfg_t = load_config(
+            os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "configs", "pre-trained", "dota-1.0_r101_ms.yaml",
+            )
+        )
+        model_t = __import__(
+            "dafne_tpu.models", fromlist=["build_model"]
+        ).build_model(cfg_t)
+        params_t = jax.jit(
+            lambda: model_t.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 3))
+            )["params"]
+        )()
+        img = (rng.rand(1024, 1024, 3) * 255).astype(np.float32)
+        steps = BucketedEvalSteps(cfg_t, model_t)
+        n_augs = len(build_tta_augs(cfg_t, 1024, 1024))
+        t0 = time.perf_counter()
+        det = tta_inference_single(cfg_t, steps, params_t, img)  # compiles
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        reps = 3
+        for _ in range(reps):
+            det = tta_inference_single(cfg_t, steps, params_t, img)
+        results["tta_r101"] = {
+            "augs_per_image": n_augs,
+            "compile_plus_first_s": round(compile_s, 1),
+            "s_per_image": round((time.perf_counter() - t0) / reps, 2),
+            "detections": int(det["valid"].sum()),
+            "oom": False,
+        }
+        print("tta_r101", results["tta_r101"], flush=True)
 
     if "train_step" in phases:
         results["train_step_ms"] = round(full_step_ms(flagship_cfg()), 1)
