@@ -235,7 +235,8 @@ def build_defaults() -> CfgNode:
     t.MAX_INSTANCES = 256  # static per-image gt padding
     t.NMS_MAX_CANDIDATES = 2048  # static NMS input size (score top-k capped;
     # <= 0 = reference-faithful no-cap: all per-level survivors enter NMS)
-    t.EVAL_BATCH = 8  # eval images per step (was hardcoded 8 in round 1)
+    t.EVAL_BATCH = 16  # eval images per step; 16 is the measured v5e
+    # throughput knee (171 img/s @8 vs 181 @16 at 1024**2, bench.py)
     t.ASSIGN_IMPL = "auto"  # "auto" | "pallas" | "xla" target assignment
     t.DECODE_APPROX_TOPK = True  # lax.approx_max_k (recall 0.99) in decode
     t.IMAGE_SIZE_DIVISIBILITY = 128  # pad H, W to multiples (P7 stride)
