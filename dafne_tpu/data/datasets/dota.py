@@ -120,8 +120,6 @@ def register_dota(cfg) -> None:
                 image_root = os.path.join(d, "images")
                 for suffix, mini in [("", False), ("_mini", True)]:
                     full = name + suffix
-                    if full in DatasetCatalog:
-                        continue
                     DatasetCatalog.register(
                         full,
                         (lambda jf=json_file, ir=image_root, m=mini: load_dota_json(

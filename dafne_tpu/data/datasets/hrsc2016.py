@@ -70,8 +70,6 @@ def register_hrsc(cfg) -> None:
     root = os.path.join(data_root(), "hrsc")
     for split in ["train", "val", "test", "trainval"]:
         name = f"hrsc_{split}"
-        if name in DatasetCatalog:
-            continue
         DatasetCatalog.register(name, lambda s=split: load_hrsc(root, s))
         MetadataCatalog[name] = {
             "evaluator_type": "hrsc",

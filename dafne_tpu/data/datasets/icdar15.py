@@ -29,12 +29,12 @@ def load_icdar15(root: str, image_set: str) -> List[dict]:
     with open(os.path.join(root, "ImageSets", f"{image_set}.txt")) as f:
         ids = [l.replace("gt_img_", "") for l in f.read().splitlines() if l.strip()]
 
-    anno_set = "train" if image_set == "val" else image_set
-    img_set = "train" if image_set == "val" else image_set
+    # val images + annotations live in the train folder (icdar15.py:39-55)
+    folder = "train" if image_set == "val" else image_set
 
     records = []
     for img_id in ids:
-        img_path = os.path.join(root, "images", img_set, f"img_{img_id}.jpg")
+        img_path = os.path.join(root, "images", folder, f"img_{img_id}.jpg")
         w_img, h_img = _image_size(img_path)
         record = {
             "file_name": img_path,
@@ -43,7 +43,7 @@ def load_icdar15(root: str, image_set: str) -> List[dict]:
             "height": h_img,
         }
         objs = []
-        anno_path = os.path.join(root, "Annotations", anno_set, f"gt_img_{img_id}.txt")
+        anno_path = os.path.join(root, "Annotations", folder, f"gt_img_{img_id}.txt")
         with open(anno_path, encoding="utf-8-sig") as f:
             for line in f.read().split("\n"):
                 if not line.strip():
@@ -76,8 +76,6 @@ def register_icdar15(cfg) -> None:
     root = os.path.join(data_root(), "icdar-2015")
     for split in ["train", "val", "test"]:
         name = f"icdar15_{split}"
-        if name in DatasetCatalog:
-            continue
         DatasetCatalog.register(name, lambda s=split: load_icdar15(root, s))
         MetadataCatalog[name] = {
             "evaluator_type": "icdar15",

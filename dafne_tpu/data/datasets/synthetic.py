@@ -68,8 +68,6 @@ def load_synthetic(split: str, n: int = 64, hw: int = 256) -> List[dict]:
 def register_synthetic(cfg) -> None:
     for split, n in [("train", 64), ("val", 16), ("test", 16)]:
         name = f"synthetic_{split}"
-        if name in DatasetCatalog:
-            continue
         DatasetCatalog.register(name, lambda s=split, k=n: load_synthetic(s, k))
         MetadataCatalog[name] = {
             "evaluator_type": "synthetic",

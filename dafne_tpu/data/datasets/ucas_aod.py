@@ -77,8 +77,6 @@ def register_ucas_aod(cfg) -> None:
     root = os.path.join(data_root(), "UCAS-AOD")
     for split in ["train", "val", "test", "trainval"]:
         name = f"ucas_aod_{split}"
-        if name in DatasetCatalog:
-            continue
         DatasetCatalog.register(name, lambda s=split: load_ucas_aod(root, s))
         MetadataCatalog[name] = {
             "evaluator_type": "ucas_aod",

@@ -20,6 +20,7 @@ import threading
 from typing import Dict, Iterator, List, Optional
 
 import numpy as np
+from concurrent.futures import ThreadPoolExecutor
 
 from dafne_tpu.data.mapper import DatasetMapper, pad_target_hw
 
@@ -104,6 +105,11 @@ class DataLoader:
         )
         self.prefetch = max(1, cfg.TPU.PREFETCH_DEPTH)
         self.seed = seed
+        # one long-lived pool: a fresh ThreadPoolExecutor per batch costs
+        # thread spawn/join on the hot producer path every step
+        self._executor = (
+            ThreadPoolExecutor(self.num_workers) if self.num_workers > 0 else None
+        )
         if train:
             if cfg.DATALOADER.FILTER_EMPTY_ANNOTATIONS:
                 filtered = [r for r in records if r.get("annotations")]
@@ -113,8 +119,6 @@ class DataLoader:
             self.sampler = None
 
     def _make_batch(self, indices: List[int], seeds: List[int]) -> Dict[str, np.ndarray]:
-        from concurrent.futures import ThreadPoolExecutor
-
         # images render straight into the batch buffer: no per-example canvas
         # allocation and no np.stack copy (3 MB/img at 1024^2 — the host here
         # has ONE core, so every avoided memcpy is throughput)
@@ -130,8 +134,7 @@ class DataLoader:
 
         work = list(zip(range(len(indices)), indices, seeds))
         if self.num_workers > 0 and len(indices) > 1:
-            with ThreadPoolExecutor(min(self.num_workers, len(indices))) as ex:
-                examples = list(ex.map(one, work))
+            examples = list(self._executor.map(one, work))
         else:
             examples = [one(a) for a in work]
         batch: Dict[str, np.ndarray] = {"image": imgs}

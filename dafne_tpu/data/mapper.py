@@ -172,6 +172,21 @@ class DatasetMapper:
             canvas = image_out  # caller-provided, pre-zeroed
         else:
             canvas = np.zeros((self.pad_h, self.pad_w, 3), np.uint8)
+        if rh > self.pad_h or rw > self.pad_w:
+            # only possible when the record's width/height metadata disagrees
+            # with the actual file (the canvas is sized from record dims);
+            # cropping silently would make detections in the lost band
+            # impossible, so say it once
+            if not getattr(self, "_crop_warned", False):
+                self._crop_warned = True
+                import logging
+
+                logging.getLogger("dafne_tpu").warning(
+                    "resized image (%d, %d) exceeds the static canvas "
+                    "(%d, %d) and will be cropped — a dataset record's "
+                    "width/height likely disagrees with the file on disk",
+                    rh, rw, self.pad_h, self.pad_w,
+                )
         canvas[:rh, :rw] = img[: self.pad_h, : self.pad_w]
 
         return {

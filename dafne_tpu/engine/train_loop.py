@@ -10,6 +10,7 @@ eval, checkpointing and metric writing mirror the reference loop.
 from __future__ import annotations
 
 import logging
+import math
 import os
 import time
 from typing import Dict, Optional
@@ -29,6 +30,8 @@ from dafne_tpu.engine.trainer import (
     make_eval_step,
     make_train_step,
 )
+from dafne_tpu.ops.postprocess import DecodeSpec
+from dafne_tpu.ops.targets import AssignmentSpec
 from dafne_tpu.evaluation import build_evaluator
 from dafne_tpu.models import build_model
 from dafne_tpu.parallel import batch_sharding, create_mesh, replicated_sharding
@@ -39,6 +42,11 @@ logger = logging.getLogger("dafne_tpu")
 _DEVICE_KEYS = (
     "image", "gt_corners", "gt_hbox", "gt_classes", "gt_area", "gt_valid",
 )
+
+# jitted eval steps cached across do_test calls (keyed by model + canvas +
+# decode/assign specs, all hashable frozen dataclasses), so periodic
+# in-training evals reuse the compiled program instead of re-tracing
+_EVAL_STEP_CACHE: Dict = {}
 
 
 def setup_logging(output_dir: Optional[str] = None):
@@ -83,9 +91,14 @@ def do_test(
     from dafne_tpu.parallel import distributed as dist
 
     results = {}
-    multiproc = jax.process_count() > 1
-    if multiproc:
-        mesh = mesh_from_config(cfg)
+    mesh = mesh_from_config(cfg)
+    n_mesh_dev = int(np.prod(mesh.devices.shape))
+    pc = jax.process_count()
+    # use the sharded path whenever the mesh has more than one device —
+    # including single-process multi-chip, where plain jnp.asarray would
+    # compile a one-device program and idle the rest of the slice
+    use_mesh = n_mesh_dev > 1
+    if use_mesh:
         rep = replicated_sharding(mesh)
         params = jax.device_put(params, rep)
         if batch_stats is not None:
@@ -103,23 +116,35 @@ def do_test(
             return jnp.asarray(batch["image"]), jnp.asarray(batch["scale_xy"])
 
     is_main = dist.is_main_process()
-    step_cache: Dict = {}
     for dataset_name in cfg.DATASETS.TEST:
         records = get_dataset(dataset_name, cfg)
         # tight per-dataset canvas (record dims, no image IO) instead of the
-        # worst-case INPUT.MAX_SIZE_TEST square; compiled steps cached per size
+        # worst-case INPUT.MAX_SIZE_TEST square; compiled steps cached per
+        # size ACROSS do_test calls (periodic in-training evals would
+        # otherwise re-trace and pay the 1-5 min remote compile every time)
         pad_hw = eval_pad_hw(cfg, records)
-        if pad_hw not in step_cache:
+        cache_key = (
+            model,
+            pad_hw,
+            use_mesh,
+            DecodeSpec.from_config(cfg, train=False),
+            AssignmentSpec.from_config(cfg),
+        )
+        if cache_key not in _EVAL_STEP_CACHE:
+            if len(_EVAL_STEP_CACHE) > 32:
+                _EVAL_STEP_CACHE.clear()
             fn = make_eval_step(model, cfg, pad_hw)
-            step_cache[pad_hw] = jax.jit(
+            _EVAL_STEP_CACHE[cache_key] = jax.jit(
                 fn, out_shardings=rep
-            ) if multiproc else jax.jit(fn)
-        eval_step = step_cache[pad_hw]
-        batch_size = max(1, min(int(cfg.TPU.EVAL_BATCH), cfg.SOLVER.IMS_PER_BATCH))
-        if multiproc:
-            # keep the global eval batch divisible across processes
-            pc = jax.process_count()
-            batch_size = max(pc, (batch_size // pc) * pc)
+            ) if use_mesh else jax.jit(fn)
+        eval_step = _EVAL_STEP_CACHE[cache_key]
+        batch_size = max(1, int(cfg.TPU.EVAL_BATCH))
+        if use_mesh:
+            # the global eval batch must split evenly over the mesh data
+            # axis AND over the loader's per-process slicing
+            n_data = int(mesh.shape.get("data", 1))
+            q = math.lcm(n_data, pc)
+            batch_size = max(q, (batch_size // q) * q)
         loader = build_data_loader(
             cfg, records, batch_size=batch_size, train=False, pad_hw=pad_hw
         )
@@ -263,6 +288,12 @@ def do_train(cfg, model, resume: bool = False):
     ckpt_period = cfg.SOLVER.CHECKPOINT_PERIOD
 
     profile_window = list(cfg.DEBUG.PROFILE_ITERS or [])
+    if profile_window and len(profile_window) != 2:
+        raise ValueError(
+            f"DEBUG.PROFILE_ITERS must be [start, stop], got {profile_window}"
+        )
+    profiling_active = False  # stop_trace only after a matching start (resume
+    # can land inside the window, where stop without start would raise)
 
     def device_batches():
         """Host batch -> sharded device arrays, prefetched one step ahead so
@@ -291,15 +322,27 @@ def do_train(cfg, model, resume: bool = False):
                 yield q.get()
         finally:
             stop.set()
+            # drain so a producer blocked in q.put observes the stop flag and
+            # exits, releasing its prefetched HBM batches (same fix as
+            # data/loader.py's _train_iter) instead of pinning them for the
+            # rest of the process (final checkpoint + final eval compile)
+            try:
+                while True:
+                    q.get_nowait()
+            except _queue.Empty:
+                pass
 
     data_iter = device_batches()
     metrics = None
     t_data = 0.0
+    last_write = start_iter - 1  # iteration of the previous metric write
     for it in range(start_iter, max_iter):
         if profile_window and it == profile_window[0]:
             jax.profiler.start_trace(os.path.join(output_dir, "profile"))
-        if profile_window and it == profile_window[1]:
+            profiling_active = True
+        if profiling_active and it == profile_window[1]:
             jax.profiler.stop_trace()
+            profiling_active = False
             logger.info(f"profiler trace written to {output_dir}/profile")
         t0 = time.perf_counter()
         device_batch = next(data_iter)
@@ -308,7 +351,8 @@ def do_train(cfg, model, resume: bool = False):
 
         if (it + 1) % 20 == 0 or it == start_iter:
             host = {k: float(v) for k, v in metrics.items()}
-            host["data_time"] = t_data / max(1, (20 if it != start_iter else 1))
+            host["data_time"] = t_data / max(1, it - last_write)
+            last_write = it
             t_data = 0.0
             if cfg.DEBUG.NAN_CHECK and not host.get("loss_is_finite", 1.0):
                 raise FloatingPointError(
@@ -325,6 +369,8 @@ def do_train(cfg, model, resume: bool = False):
             do_test(cfg, model, state.params, output_dir, step=it + 1,
                     batch_stats=state.batch_stats)
 
+    if profiling_active:  # window extended past max_iter
+        jax.profiler.stop_trace()
     checkpointer.save(max_iter, jax.device_get(state))
     checkpointer.wait()
     for w in writers:

@@ -114,7 +114,7 @@ class BucketedEvalSteps:
 
 
 def tta_inference_single(
-    cfg, steps: "BucketedEvalSteps", params, img: np.ndarray
+    cfg, steps: "BucketedEvalSteps", params, img: np.ndarray, batch_stats=None
 ) -> Dict[str, np.ndarray]:
     """All TTA copies of one image -> merged detections (original coords)."""
     h, w = img.shape[:2]
@@ -143,7 +143,7 @@ def tta_inference_single(
             real = len(chunk)
             while len(chunk) < batch:
                 chunk.append(chunk[-1])
-            det = step(params, jnp.asarray(np.stack(chunk)))
+            det = step(params, jnp.asarray(np.stack(chunk)), None, batch_stats)
             det = {k: np.asarray(v) for k, v in det.items()}
             for i in range(real):
                 aug = metas[start + i]
@@ -183,7 +183,7 @@ def tta_inference_single(
     }
 
 
-def do_test_with_tta(cfg, model, params, output_dir=None):
+def do_test_with_tta(cfg, model, params, output_dir=None, batch_stats=None):
     """TTA evaluation over cfg.DATASETS.TEST (do_test_with_TTA,
     plain_train_net.py:339-357)."""
     results = {}
@@ -201,7 +201,7 @@ def do_test_with_tta(cfg, model, params, output_dir=None):
             img = r["image"] if "image" in r else read_image(
                 r["file_name"], cfg.INPUT.FORMAT
             )
-            det = tta_inference_single(cfg, steps, params, img)
+            det = tta_inference_single(cfg, steps, params, img, batch_stats)
             evaluator.process_image(
                 r["image_id"], det["corners"], det["scores"], det["classes"],
                 det["valid"],

@@ -99,10 +99,18 @@ class RotatedDetectionEvaluator:
 
     # ------------------------------------------------------------ evaluate
     def evaluate(self) -> Dict[str, float]:
-        # ground truth per class per image from the dataset records
+        # ground truth per class per image from the dataset records,
+        # DEDUPLICATED by image_id: the *_mini splits sample records WITH
+        # replacement (dota.py:312-318), and the reference's evaluators key
+        # ground truth per image name (parse_gt), so a duplicated record
+        # must not double its annotations / npos
         gt: Dict[int, Dict[str, list]] = defaultdict(lambda: defaultdict(list))
+        seen_images = set()
         for r in self.records:
             img = str(r["image_id"])
+            if img in seen_images:
+                continue
+            seen_images.add(img)
             for a in r.get("annotations", []):
                 gt[a["category_id"]][img].append(
                     (np.asarray(a["corners"], np.float64), bool(a.get("difficult")))
@@ -139,7 +147,8 @@ class RotatedDetectionEvaluator:
                     det_ids, det_scores, det_corners, gt_by_image,
                     self.iou_thresh, self.use_07_metric,
                 )
-            results[f"AP50/{name}"] = ap * 100.0
+            ap_key = f"AP{int(round(self.iou_thresh * 100))}"
+            results[f"{ap_key}/{name}"] = ap * 100.0
             self.pr_curves[name] = (rec, prec)
             self.scores_overlap += [[*row, name] for row in so]
             aps.append(ap)

@@ -32,23 +32,9 @@ import numpy as np
 # ---------------------------------------------------------------------------
 
 
-class BN(nn.Module):
-    """Frozen-stats batchnorm affine (matches resnet.FrozenBN; the shipped
-    pipelines never train BN stats — see dafne_tpu/models/resnet.py)."""
-
-    features: int
-    eps: float = 1e-5
-    dtype: Any = jnp.float32
-
-    @nn.compact
-    def __call__(self, x):
-        scale = self.param("weight", nn.initializers.ones, (self.features,))
-        bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        mean = self.param("running_mean", nn.initializers.zeros, (self.features,))
-        var = self.param("running_var", nn.initializers.ones, (self.features,))
-        mul = (scale * jax.lax.rsqrt(var + self.eps)).astype(self.dtype)
-        add = (bias - mean * scale * jax.lax.rsqrt(var + self.eps)).astype(self.dtype)
-        return x * mul + add
+# Frozen-stats batchnorm affine: same params/math as the trunk's FrozenBN;
+# aliased so checkpoint naming and any future fix stay in ONE place.
+from dafne_tpu.models.resnet import FrozenBN as BN  # noqa: E402
 
 
 def conv(ch, k, s=1, name=None, dtype=jnp.float32, groups=1, bias=False):

@@ -55,7 +55,6 @@ class FPN(nn.Module):
     @nn.compact
     def __call__(self, features: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
         inputs = [features[f] for f in self.in_features]  # low->high stride
-        strides = [int(f[-1]) for f in self.in_features]  # res-stage index
 
         # lateral 1x1 + output 3x3, top-down pathway
         laterals = [

@@ -76,8 +76,12 @@ def rotated_nms(
     if impl == "auto":
         impl = _default_impl()
 
-    neg = jnp.asarray(-jnp.inf, scores.dtype)
-    order = jnp.argsort(jnp.where(valid, scores, neg))[::-1]  # desc, invalid last
+    # descending order via ascending argsort of negated keys — a strided
+    # reverse here can crash the XLA:TPU fusion emitter (CLAUDE.md rule /
+    # geometry/iou.py:_as_ccw_batched note) and a stable ascending sort on
+    # -scores keeps FIRST-index order on ties like torch's descending sort
+    inf = jnp.asarray(jnp.inf, scores.dtype)
+    order = jnp.argsort(jnp.where(valid, -scores, inf))  # desc, invalid last
 
     s_corners = corners[order]
     s_valid = valid[order]

@@ -113,6 +113,34 @@ def test_tta_augs_and_inference(tmp_path):
         assert det["corners"].min() > -300 and det["corners"].max() < 600
 
 
+def test_tta_with_batchnorm_stats(tmp_path):
+    """Regression: TTA inference must thread batch_stats for BN-normed heads
+    (MODEL.DAFNE.NORM=BN keeps running stats in a separate collection; the
+    eval step needs them or flax raises a missing-collection error)."""
+    from dafne_tpu.data.datasets.synthetic import load_synthetic
+    from dafne_tpu.engine.tta import BucketedEvalSteps, tta_inference_single
+    from dafne_tpu.models import build_model
+
+    cfg = tiny_cfg(
+        tmp_path,
+        **{
+            "MODEL.DAFNE.NORM": "BN",
+            "TEST.AUG.MIN_SIZES": "(128,)",
+            "TEST.AUG.MAX_SIZE": "128",
+            "TEST.AUG.HFLIP": "True",
+        },
+    )
+    model = build_model(cfg)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)))
+    steps = BucketedEvalSteps(cfg, model)
+    rec = load_synthetic("val", 1)[0]
+    det = tta_inference_single(
+        cfg, steps, variables["params"], rec["image"],
+        batch_stats=variables["batch_stats"],
+    )
+    assert det["corners"].shape[1] == 8
+
+
 def test_tta_rotation_set(tmp_path):
     from dafne_tpu.engine.tta import build_tta_augs
 

@@ -96,6 +96,53 @@ def test_evaluator_end_to_end(tmp_path):
     assert os.path.exists(tmp_path / "results.txt")
 
 
+def test_evaluator_duplicate_records_deduped(tmp_path):
+    """Regression: *_mini splits sample records WITH replacement
+    (dota.py:312-318); duplicated records must not double the ground truth
+    (npos) — the reference keys gt per image name, so a perfect detection
+    must still score mAP 100 on a duplicated record list."""
+    rec = {
+        "image_id": "im0",
+        "annotations": [
+            {"corners": _box(0, 0, 10, 10).tolist(), "category_id": 0,
+             "difficult": False},
+        ],
+    }
+    ev = RotatedDetectionEvaluator(
+        "test_ds", [rec, dict(rec), dict(rec)], class_names=["a"],
+        output_dir=str(tmp_path),
+    )
+    ev.process_image(
+        "im0",
+        np.stack([_box(0, 0, 10, 10)]),
+        np.asarray([0.9]),
+        np.asarray([0]),
+        np.asarray([True]),
+    )
+    res = ev.evaluate()
+    assert res["mAP"] == pytest.approx(100.0)
+
+
+def test_reregistration_uses_latest_cfg(tmp_path, monkeypatch):
+    """Regression: register_* calls previously kept the FIRST cfg's closure
+    forever (silent skip on re-register); the latest registration must win
+    so a second config in the same process sees its own filters/data root."""
+    from dafne_tpu.config import get_cfg
+    from dafne_tpu.data import register_all_datasets
+    from dafne_tpu.data.registry import DatasetCatalog
+
+    monkeypatch.setenv("DAFNE_DATA_DIR", str(tmp_path / "rootA"))
+    cfg_a = get_cfg()
+    cfg_a.DEBUG.OVERFIT_NUM_IMAGES = 0
+    register_all_datasets(cfg_a)
+    loader_a = DatasetCatalog._loaders["synthetic_train"]
+
+    monkeypatch.setenv("DAFNE_DATA_DIR", str(tmp_path / "rootB"))
+    cfg_b = get_cfg()
+    register_all_datasets(cfg_b)
+    assert DatasetCatalog._loaders["synthetic_train"] is not loader_a
+
+
 def test_tile_id_parse():
     assert parse_tile_id("P0003__1__600___1200") == ("P0003", 1.0, 600.0, 1200.0)
     assert parse_tile_id("P0003__0.5__0___0") == ("P0003", 0.5, 0.0, 0.0)

@@ -98,7 +98,8 @@ def main():
     for path in args.input:
         img = cv2.imread(path)
         if args.tta:
-            det = tta_inference_single(cfg, tta_steps, state.params, img)
+            det = tta_inference_single(cfg, tta_steps, state.params, img,
+                                       batch_stats=state.batch_stats)
             corners, scores, classes = det["corners"], det["scores"], det["classes"]
         else:
             ex = mapper({"file_name": path, "annotations": []})
@@ -106,6 +107,7 @@ def main():
                 state.params,
                 jnp.asarray(ex["image"])[None],
                 jnp.asarray(ex["scale_xy"])[None],
+                state.batch_stats,
             )
             v = np.asarray(out["valid"][0])
             corners = np.asarray(out["corners"][0])[v]

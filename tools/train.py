@@ -79,7 +79,8 @@ def main(argv=None):
                 from dafne_tpu.engine.tta import do_test_with_tta
 
                 results["tta"] = do_test_with_tta(
-                    cfg, model, state.params, cfg.OUTPUT_DIR
+                    cfg, model, state.params, cfg.OUTPUT_DIR,
+                    batch_stats=state.batch_stats,
                 )
             notify("eval_done", cfg, results)
             return results
