@@ -49,9 +49,15 @@ def _signed_area_verts(v):
 
 
 def _as_ccw(v):
-    """Return vertices in counter-clockwise order; v: [4, 2]."""
+    """Return vertices in counter-clockwise order; v: [4, 2].
+
+    Static permutation instead of v[::-1] — the strided reverse crashes the
+    XLA:TPU fusion emitter when fused into broadcasted programs (see
+    _as_ccw_batched).
+    """
     s = _signed_area_verts(v)
-    return jnp.where(s < 0.0, v[::-1], v)
+    rev = jnp.stack([v[3], v[2], v[1], v[0]])
+    return jnp.where(s < 0.0, rev, v)
 
 
 def _points_in_convex_poly(pts, poly, eps):
@@ -258,7 +264,7 @@ def quad_iou(p, q, eps=1e-7, method: str = "clip"):
     handled like polyiou.cpp:121-126 ((inter+1)/(union+1) when union == 0)."""
     if method == "clip":
         p, q = jnp.broadcast_arrays(p, q)
-        inter = quad_intersection_area_clip(p, q)
+        inter = quad_intersection_area_clip(p, q, eps=max(eps, 1e-6))
     else:
         inter = quad_intersection_area(p, q, eps)
     pa = jnp.abs(_signed_area_verts(p.reshape(p.shape[:-1] + (4, 2))))

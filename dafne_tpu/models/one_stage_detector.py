@@ -71,7 +71,8 @@ class OneStageDetector(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, images: jnp.ndarray, train: bool = False) -> Dict[str, Any]:
+    def __call__(self, images: jnp.ndarray, train: bool = False,
+                 return_features: bool = False) -> Dict[str, Any]:
         x = images.astype(self.dtype)
         mean = jnp.asarray(self.pixel_mean, dtype=self.dtype)
         std = jnp.asarray(self.pixel_std, dtype=self.dtype)
@@ -167,6 +168,12 @@ class OneStageDetector(nn.Module):
             out[k] = [None if t is None else t.astype(jnp.float32) for t in v]
 
         out["hw"] = [tuple(f.shape[1:3]) for f in level_feats]
+        if return_features:
+            # the FPN pyramid itself (visualization tools; not part of the
+            # train/eval step outputs)
+            out["features"] = [
+                f.astype(jnp.float32) for f in level_feats
+            ]
         return out
 
     def locations(self, image_hw, dtype=jnp.float32) -> List[jnp.ndarray]:

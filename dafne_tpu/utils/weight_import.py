@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import math
 import pickle
 import re
 from typing import Any, Dict, List, Optional, Set, Tuple
@@ -100,7 +101,33 @@ def _strip_prefixes(key: str) -> str:
     return key
 
 
-def _map_key(key: str) -> Optional[Tuple[Tuple[str, ...], str]]:
+def _tower_strides(sd: Dict[str, np.ndarray]) -> Dict[str, int]:
+    """Infer each torch tower Sequential's layout stride from the checkpoint.
+
+    With a norm the reference towers are [conv, norm, relu]*N (convs at
+    3i); with NORM='none' they are [conv, relu]*N (convs at 2i,
+    dafne.py:310-348).  Conv entries are the 4-D weights, so the gcd of
+    their nonzero indices IS the stride; hardcoding 3 mis-mapped no-norm
+    checkpoints (convs routed to norm slots and silently dropped).
+    """
+    conv_idx: Dict[str, set] = {}
+    for key, value in sd.items():
+        m = re.match(
+            r"proposal_generator\.dafne_head\.(\w+)_tower\.(\d+)\.weight$",
+            _strip_prefixes(key),
+        )
+        if m and np.asarray(value).ndim == 4:
+            conv_idx.setdefault(m[1], set()).add(int(m[2]))
+    strides = {}
+    for tower, ixs in conv_idx.items():
+        nonzero = sorted(i for i in ixs if i)
+        strides[tower] = math.gcd(*nonzero) if nonzero else 3
+    return strides
+
+
+def _map_key(
+    key: str, tower_strides: Optional[Dict[str, int]] = None
+) -> Optional[Tuple[Tuple[str, ...], str]]:
     """Reference key -> (flax path tuple, kind) where kind in
     {conv_w, b, affine_w, affine_b, mean, var, gn_w, gn_b, scale}."""
     k = _strip_prefixes(key)
@@ -122,21 +149,21 @@ def _map_key(key: str) -> Optional[Tuple[Tuple[str, ...], str]]:
         return ("backbone", f"res{m[1]}_{m[2]}", f"{m[3]}_norm", m[4]), "affine"
 
     # ----- FPN ---------------------------------------------------------------
-    m = re.match(r"backbone\.fpn_lateral(\d)\.(weight|bias)$", key) or re.match(
+    m = re.match(r"backbone\.fpn_lateral(\d)\.(weight|bias)$", k) or re.match(
         r"fpn_lateral(\d)\.(weight|bias)$", k
     )
     if m:
         return (
             "fpn", f"lateral_res{m[1]}", "kernel" if m[2] == "weight" else "bias"
         ), ("conv_w" if m[2] == "weight" else "b")
-    m = re.match(r"backbone\.fpn_output(\d)\.(weight|bias)$", key) or re.match(
+    m = re.match(r"backbone\.fpn_output(\d)\.(weight|bias)$", k) or re.match(
         r"fpn_output(\d)\.(weight|bias)$", k
     )
     if m:
         return (
             "fpn", f"output_p{m[1]}", "kernel" if m[2] == "weight" else "bias"
         ), ("conv_w" if m[2] == "weight" else "b")
-    m = re.match(r"(?:backbone\.)?top_block\.p(\d)\.(weight|bias)$", key)
+    m = re.match(r"(?:backbone\.)?top_block\.p(\d)\.(weight|bias)$", k)
     if m:
         return ("fpn", f"p{m[1]}", "kernel" if m[2] == "weight" else "bias"), (
             "conv_w" if m[2] == "weight" else "b"
@@ -145,32 +172,34 @@ def _map_key(key: str) -> Optional[Tuple[Tuple[str, ...], str]]:
     # ----- DAFNe head ----------------------------------------------------------
     m = re.match(
         r"proposal_generator\.dafne_head\.(cls|corners|center|share)_tower\.(\d+)\.(weight|bias)$",
-        key,
+        k,
     )
     if m:
         tower, idx, wb = m[1], int(m[2]), m[3]
-        # torch Sequential: conv at 3i, GN at 3i+1 (with norm) -> detect by mod
-        if idx % 3 == 0:
+        # torch Sequential: conv at s*i, norm at s*i+1 where s is the
+        # tower's layout stride (3 with a norm, 2 for NORM='none')
+        s_ = (tower_strides or {}).get(tower, 3)
+        if idx % s_ == 0:
             return (
-                "head", f"{tower}_tower", f"conv{idx // 3}",
+                "head", f"{tower}_tower", f"conv{idx // s_}",
                 "kernel" if wb == "weight" else "bias",
             ), ("conv_w" if wb == "weight" else "b")
         return (
-            "head", f"{tower}_tower", f"norm{idx // 3}",
+            "head", f"{tower}_tower", f"norm{idx // s_}",
             "scale" if wb == "weight" else "bias",
         ), "b"
     m = re.match(
         r"proposal_generator\.dafne_head\.(cls_logits|ctrness|corners_pred|center_pred|xywha_pred|c\d_pred)\.(weight|bias)$",
-        key,
+        k,
     )
     if m:
         return ("head", m[1], "kernel" if m[2] == "weight" else "bias"), (
             "conv_w" if m[2] == "weight" else "b"
         )
-    m = re.match(r"proposal_generator\.dafne_head\.scales\.(\d+)\.scale$", key)
+    m = re.match(r"proposal_generator\.dafne_head\.scales\.(\d+)\.scale$", k)
     if m:
         return ("head", "scales", int(m[1])), "scale_elem"
-    m = re.match(r"top_module\.(weight|bias)$", key)
+    m = re.match(r"top_module\.(weight|bias)$", k)
     if m:
         return ("top_module", "kernel" if m[1] == "weight" else "bias"), (
             "conv_w" if m[1] == "weight" else "b"
@@ -191,11 +220,12 @@ def import_state_dict(
     """
     if _looks_like_c2(sd):
         sd = convert_c2_names(sd)
+    tower_strides = _tower_strides(sd)
     flat = _flatten(params)
     report = ImportReport(target_paths=set(flat))
     scales_updates: Dict[int, float] = {}
     for key, value in sd.items():
-        mapped = _map_key(key)
+        mapped = _map_key(key, tower_strides)
         if mapped is None:
             report.unmatched.append(key)
             continue

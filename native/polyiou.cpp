@@ -110,8 +110,10 @@ void poly_nms(const double* boxes, const double* scores, int64_t n,
               double thresh, uint8_t* keep_out) {
   std::vector<int64_t> order(n);
   for (int64_t i = 0; i < n; ++i) order[i] = i;
-  std::sort(order.begin(), order.end(),
-            [&](int64_t a, int64_t b) { return scores[a] > scores[b]; });
+  // stable: equal scores keep input order, matching the NumPy fallback's
+  // kind='stable' argsort so keep-sets agree with and without the native lib
+  std::stable_sort(order.begin(), order.end(),
+                   [&](int64_t a, int64_t b) { return scores[a] > scores[b]; });
 
   std::vector<double> hb(n * 4);
   for (int64_t i = 0; i < n; ++i) {

@@ -154,6 +154,56 @@ def test_full_checkpoint_mapping_is_total(depth, num_classes):
     )
 
 
+def test_ddp_module_prefixed_checkpoint_is_total():
+    """Regression: 'module.'-prefixed (DDP-wrapped) checkpoints must map the
+    FPN and head too, not just the backbone — the non-backbone patterns
+    previously matched the UNstripped key."""
+    rng = np.random.RandomState(7)
+    sd = make_dafne_checkpoint(50, 15, rng)
+    sd_in = {
+        f"module.{k}": v for k, v in sd.items() if not k.startswith("pixel_")
+    }
+    _, params = _build_params(50, 15)
+    _, report = import_state_dict(sd_in, params)
+    assert report.unmatched == [], report.unmatched[:10]
+    assert report.unfilled == [], report.unfilled[:10]
+
+
+def test_no_norm_tower_checkpoint_maps_convs():
+    """Regression: NORM='none' towers are torch Sequential [conv, relu]*N
+    (convs at 2i); the importer must infer the layout stride from the
+    checkpoint instead of assuming the 3-stride conv/norm/relu layout."""
+    rng = np.random.RandomState(11)
+    sd = make_dafne_checkpoint(50, 15, rng)
+    head = "proposal_generator.dafne_head"
+    # rewrite towers to the no-norm layout
+    for k in [k for k in list(sd) if "_tower." in k]:
+        del sd[k]
+    for tower in ("cls", "corners", "center"):
+        for i in range(4):
+            sd[f"{head}.{tower}_tower.{2 * i}.weight"] = rng.randn(
+                256, 256, 3, 3
+            ).astype(np.float32)
+            sd[f"{head}.{tower}_tower.{2 * i}.bias"] = rng.randn(256).astype(
+                np.float32
+            )
+    cfg = get_cfg()
+    cfg.MODEL.DAFNE.NORM = "none"
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    model = build_model(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))[
+        "params"
+    ]
+    sd_in = {k: v for k, v in sd.items() if not k.startswith("pixel_")}
+    new_params, report = import_state_dict(sd_in, params)
+    assert report.unmatched == [], report.unmatched[:10]
+    assert report.unfilled == [], report.unfilled[:10]
+    np.testing.assert_allclose(
+        np.asarray(new_params["head"]["cls_tower"]["conv3"]["kernel"]),
+        sd[f"{head}.cls_tower.6.weight"].transpose(2, 3, 1, 0),
+    )
+
+
 def test_imagenet_pkl_fills_backbone_exactly():
     """An ImageNet R-50 pickle must fill every backbone leaf and nothing else.
 

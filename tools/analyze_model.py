@@ -66,7 +66,11 @@ def main():
         else pad_target_hw(cfg, train=False)
     )
     x = jnp.zeros((1,) + hw + (3,), jnp.float32)
-    params = jax.jit(lambda: model.init(jax.random.PRNGKey(0), x)["params"])()
+    variables = jax.jit(lambda: model.init(jax.random.PRNGKey(0), x))()
+    params = variables["params"]
+    extra = {
+        k: v for k, v in variables.items() if k != "params"
+    }  # e.g. batch_stats for NORM=BN
 
     if "parameter" in args.tasks:
         rows = param_table(params)
@@ -80,7 +84,7 @@ def main():
             print(f"  {g:20s} {n / 1e6:8.2f} M")
 
     if "flop" in args.tasks:
-        fwd = jax.jit(lambda p, x: model.apply({"params": p}, x))
+        fwd = jax.jit(lambda p, x: model.apply({"params": p, **extra}, x))
         compiled = fwd.lower(params, x).compile()
         ca = compiled.cost_analysis()
         if isinstance(ca, list):

@@ -116,11 +116,12 @@ def main():
 
         model = build_model(cfg)
         pad_hw = pad_target_hw(cfg, train=False)
-        params = jax.jit(
+        variables = jax.jit(
             lambda: model.init(
                 jax.random.PRNGKey(0), jnp.zeros((1,) + pad_hw + (3,))
-            )["params"]
+            )
         )()
+        params, batch_stats = variables["params"], variables.get("batch_stats")
         eval_step = jax.jit(make_eval_step(model, cfg, pad_hw))
         rng = np.random.RandomState(0)
         imgs = [
@@ -128,11 +129,11 @@ def main():
             for _ in range(4)
         ]
         for i in range(args.warmup):
-            out = eval_step(params, imgs[i % 4])
+            out = eval_step(params, imgs[i % 4], None, batch_stats)
         jax.block_until_ready(out)
         t0 = time.perf_counter()
         for i in range(args.iters):
-            out = eval_step(params, imgs[i % 4])
+            out = eval_step(params, imgs[i % 4], None, batch_stats)
         jax.block_until_ready(out)
         dt = time.perf_counter() - t0
         result = {

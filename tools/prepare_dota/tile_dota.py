@@ -266,6 +266,11 @@ class TileSplitter:
         thresh: float = 0.7,
         labeled: bool = True,
     ):
+        if gap >= subsize:
+            raise ValueError(
+                f"overlap/gap ({gap}) must be < patch size ({subsize}): "
+                "the sliding window would never advance"
+            )
         self.image_dir = os.path.join(src, "images")
         self.label_dir = os.path.join(src, "labelTxt") if labeled else None
         self.out_image_dir = os.path.join(dst, "images")

@@ -69,7 +69,9 @@ def main():
             extra += scale_opts(args.iter_scale, cfg)
         if args.debug:
             cmd += ["--debug"]
-        cmd += args.opts + extra
+        # launcher-derived overrides FIRST so explicit user KEY VALUE opts
+        # win (merge_from_list applies pairs in order, later wins)
+        cmd += extra + args.opts
     else:
         out = args.output_dir
         assert out, f"{args.verb} needs --output-dir"
@@ -80,7 +82,7 @@ def main():
             cmd += ["--eval-only"]
             if args.tta:
                 args.opts += ["TEST.AUG.ENABLED", "True"]
-        cmd += args.opts + ["OUTPUT_DIR", out]
+        cmd += ["OUTPUT_DIR", out] + args.opts
 
     print("exec:", " ".join(cmd))
     if args.dry_run:

@@ -57,13 +57,14 @@ def main(argv=None):
 
     from dafne_tpu.engine.train_loop import default_setup, do_test, do_train
     from dafne_tpu.models import build_model
-
-    default_setup(cfg, args)
-    model = build_model(cfg)
-
     from dafne_tpu.utils.notify import notify
 
     try:
+        # setup/build failures (bad backbone name, unwritable OUTPUT_DIR,
+        # OOM at construction) must hit the same error.txt/notify contract
+        # as run failures (plain_train_net.py:631-655)
+        default_setup(cfg, args)
+        model = build_model(cfg)
         if args.eval_only:
             from dafne_tpu.data.mapper import pad_target_hw
             from dafne_tpu.engine.checkpoint import Checkpointer

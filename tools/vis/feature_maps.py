@@ -49,37 +49,23 @@ def main():
     from dafne_tpu.engine.checkpoint import Checkpointer
     from dafne_tpu.engine.train_loop import build_state
     from dafne_tpu.models import build_model
-    from dafne_tpu.models.fpn import FPN
-    from dafne_tpu.models.resnet import ResNet
 
     model = build_model(cfg)
     pad_hw = pad_target_hw(cfg, train=False)
     state, _, _ = build_state(cfg, model, pad_hw)
     state, _ = Checkpointer(cfg.OUTPUT_DIR).resume_or_load(state, cfg, resume=True)
 
-    # pull the pyramid by re-running backbone+fpn with the trained params
+    # pull the pyramid from the REAL model (return_features) so every
+    # backbone kind / stem flag / fuse type stays in sync automatically
     def pyramid_fn(params, x):
-        mean = jnp.asarray(model.pixel_mean)
-        std = jnp.asarray(model.pixel_std)
-        x = (x - mean) / std
-        feats = ResNet(
-            depth=model.depth,
-            out_features=model.resnet_out_features,
-            freeze_at=model.freeze_at,
-            num_groups=model.num_groups,
-            width_per_group=model.width_per_group,
-            stem_out_channels=model.stem_out_channels,
-            res2_out_channels=model.res2_out_channels,
-            stride_in_1x1=model.stride_in_1x1,
-            dtype=model.dtype,
-        ).apply({"params": params["backbone"]}, x)
-        top_block = {2: "p6p7", 1: "p6", 0: ""}[model.top_levels]
-        return FPN(
-            in_features=tuple(model.resnet_out_features),
-            out_channels=model.fpn_out_channels,
-            top_block=top_block,
-            dtype=model.dtype,
-        ).apply({"params": params["fpn"]}, feats)
+        variables = {"params": params}
+        if state.batch_stats is not None:
+            variables["batch_stats"] = state.batch_stats
+        out = model.apply(variables, x, return_features=True)
+        return {
+            name: feat
+            for name, feat in zip(model.in_features, out["features"])
+        }
 
     mapper = DatasetMapper(cfg, train=False, pad_hw=pad_hw)
     ex = mapper({"file_name": args.input, "annotations": []})
