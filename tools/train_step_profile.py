@@ -26,7 +26,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-BATCH, HW = 8, 1024
+BATCH = int(os.environ.get("PROFILE_BATCH", "8"))
+HW = 1024
 ITERS, WARMUP = 10, 2
 
 
@@ -476,6 +477,12 @@ def main():
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "PROFILE_TRAIN.json",
     )
+    if BATCH != 8:  # non-default batch: suffix keys so b8 numbers survive
+        results = {
+            (f"{k}_b{BATCH}" if k.endswith("_ms") else k): v
+            for k, v in results.items()
+        }
+        results.pop("batch", None)
     if os.path.exists(out):  # merge so partial-phase runs accumulate
         with open(out) as f:
             prev = json.load(f)
