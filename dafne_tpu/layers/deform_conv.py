@@ -25,32 +25,46 @@ import flax.linen as nn
 
 def bilinear_sample(x: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray) -> jnp.ndarray:
     """Sample x [N, H, W, C] at float positions px, py [N, H', W'] (pixel
-    index space, 0..W-1).  Out-of-bounds clamps.  Returns [N, H', W', C]."""
+    index space, 0..W-1).  Returns [N, H', W', C].
+
+    Semantics match the reference CUDA DeformConv: a sample fully outside
+    the map contributes 0 (zero padding), and each of the 4 corner taps is
+    zero-weighted when its integer coordinate falls outside — NOT clamped
+    to the border, which would systematically distort activations at map
+    edges for imported reference weights.
+
+    Coordinates/weights are computed in float32 regardless of the feature
+    dtype: bf16 positions quantize to ~0.5 px over most of a 128-wide map
+    (8 significand bits), destroying the sub-pixel offsets this op exists
+    for.
+    """
     n, h, w, c = x.shape
-    px = jnp.clip(px, 0.0, w - 1.0)
-    py = jnp.clip(py, 0.0, h - 1.0)
-    x0 = jnp.floor(px)
-    y0 = jnp.floor(py)
-    wx = px - x0
-    wy = py - y0
-    x0 = x0.astype(jnp.int32)
-    y0 = y0.astype(jnp.int32)
-    x1 = jnp.minimum(x0 + 1, w - 1)
-    y1 = jnp.minimum(y0 + 1, h - 1)
+    px = px.astype(jnp.float32)
+    py = py.astype(jnp.float32)
+    x0f = jnp.floor(px)
+    y0f = jnp.floor(py)
+    wx = px - x0f
+    wy = py - y0f
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+    x1 = x0 + 1
+    y1 = y0 + 1
 
     flat = x.reshape(n, h * w, c)
 
     def gather(yi, xi):
-        idx = (yi * w + xi).reshape(n, -1)  # [N, H'*W']
+        inb = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+        idx = jnp.where(inb, yi * w + xi, 0).reshape(n, -1)  # [N, H'*W']
         out = jnp.take_along_axis(flat, idx[:, :, None], axis=1)
-        return out.reshape(px.shape + (c,))
+        out = out.reshape(px.shape + (c,))
+        return out * inb[..., None].astype(out.dtype)
 
     v00 = gather(y0, x0)
     v01 = gather(y0, x1)
     v10 = gather(y1, x0)
     v11 = gather(y1, x1)
-    wx = wx[..., None]
-    wy = wy[..., None]
+    wx = wx[..., None].astype(x.dtype)
+    wy = wy[..., None].astype(x.dtype)
     return (
         v00 * (1 - wx) * (1 - wy)
         + v01 * wx * (1 - wy)
@@ -84,16 +98,17 @@ class DeformConv2d(nn.Module):
             else:
                 offsets = jnp.zeros(x.shape[:3] + (18,), x.dtype)
 
-        ys = jnp.arange(h, dtype=x.dtype)
-        xs = jnp.arange(w, dtype=x.dtype)
+        # f32 coordinates regardless of compute dtype (see bilinear_sample)
+        ys = jnp.arange(h, dtype=jnp.float32)
+        xs = jnp.arange(w, dtype=jnp.float32)
         gy, gx = jnp.meshgrid(ys, xs, indexing="ij")  # [H, W]
 
         taps = []
         k = 0
         for dy in (-1, 0, 1):
             for dx in (-1, 0, 1):
-                oy = offsets[..., 2 * k]
-                ox = offsets[..., 2 * k + 1]
+                oy = offsets[..., 2 * k].astype(jnp.float32)
+                ox = offsets[..., 2 * k + 1].astype(jnp.float32)
                 py = gy[None] + dy + oy
                 px = gx[None] + dx + ox
                 t = bilinear_sample(x, px, py)
@@ -114,14 +129,21 @@ class DeformConv2d(nn.Module):
 
 
 def _grid_offsets(py, px, h, w, dtype):
-    """Convert absolute 3x3 sample positions [N, H, W, 3, 3] into offsets
-    relative to the regular conv grid, interleaved (dy, dx) x 9."""
+    """Convert absolute 3x3 target positions [N, H, W, 3, 3] into offsets
+    relative to each LOCATION (not the full conv grid), interleaved
+    (dy, dx) x 9.
+
+    NOTE: the reference's generators (deform_conv.py:23-195) all emit
+    location-relative points and let the CUDA op add its base kernel
+    offsets ON TOP, so the effective sample is point + base(+-1, +-1).
+    DeformConv2d here mirrors that (py = grid + base + offset), so the
+    offsets must NOT remove the base term — weight parity over geometric
+    prettiness (previously only corners_to_offsets matched).
+    """
     gy = jnp.arange(h, dtype=dtype)[None, :, None, None, None]
     gx = jnp.arange(w, dtype=dtype)[None, None, :, None, None]
-    base_dy = jnp.asarray([-1.0, 0.0, 1.0], dtype).reshape(1, 1, 1, 3, 1)
-    base_dx = jnp.asarray([-1.0, 0.0, 1.0], dtype).reshape(1, 1, 1, 1, 3)
-    oy = py - (gy + base_dy)
-    ox = px - (gx + base_dx)
+    oy = py - gy
+    ox = px - gx
     inter = jnp.stack([oy, ox], axis=-1)  # [N, H, W, 3, 3, 2]
     return inter.reshape(inter.shape[:3] + (18,))
 

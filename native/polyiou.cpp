@@ -11,6 +11,7 @@
 
 #include <algorithm>
 #include <cmath>
+#include <limits>
 #include <cstdint>
 #include <vector>
 
@@ -35,18 +36,22 @@ inline double polygon_area(const Pt* p, int n) {
 }
 
 // Clip polygon `in` (n vertices) by the half-plane left of a->b (CCW).
-// Returns the new vertex count written to `out` (capacity >= n + 1).
-int clip_halfplane(const Pt* in, int n, Pt a, Pt b, Pt* out) {
+// Returns the new vertex count written to `out`.  For a CONVEX subject the
+// output has at most n + 1 vertices, but callers can feed self-intersecting
+// (bowtie) quads whose clips emit up to ~1.5n, so writes are bounded by
+// `cap` explicitly — never trust the input to be simple.
+int clip_halfplane(const Pt* in, int n, Pt a, Pt b, Pt* out, int cap) {
   int m = 0;
   for (int i = 0; i < n; ++i) {
     const Pt& cur = in[i];
     const Pt& nxt = in[(i + 1) % n];
     double s_cur = cross(a, b, cur);
     double s_nxt = cross(a, b, nxt);
-    if (s_cur >= 0) out[m++] = cur;
+    if (s_cur >= 0 && m < cap) out[m++] = cur;
     if ((s_cur > 0 && s_nxt < 0) || (s_cur < 0 && s_nxt > 0)) {
       double t = s_cur / (s_cur - s_nxt);
-      out[m++] = Pt{cur.x + t * (nxt.x - cur.x), cur.y + t * (nxt.y - cur.y)};
+      if (m < cap)
+        out[m++] = Pt{cur.x + t * (nxt.x - cur.x), cur.y + t * (nxt.y - cur.y)};
     }
   }
   return m;
@@ -57,28 +62,36 @@ void load_ccw(const double* q, Pt* out) {
   if (polygon_area(out, 4) < 0) std::swap(out[0], out[3]), std::swap(out[1], out[2]);
 }
 
-double intersect_area(const double* p8, const double* q8) {
-  Pt p[4], q[4];
-  load_ccw(p8, p);
-  load_ccw(q8, q);
-  Pt buf_a[16], buf_b[16];
+constexpr int kClipCap = 32;  // 4 clips of a (possibly bowtie) quad stay
+                              // well under this; clip_halfplane clamps anyway
+
+double intersect_area_verts(const Pt* p, const Pt* q) {
+  Pt buf_a[kClipCap], buf_b[kClipCap];
   int n = 4;
   Pt* cur = buf_a;
   Pt* nxt = buf_b;
   for (int i = 0; i < 4; ++i) buf_a[i] = p[i];
   for (int e = 0; e < 4 && n > 2; ++e) {
-    n = clip_halfplane(cur, n, q[e], q[(e + 1) % 4], nxt);
+    n = clip_halfplane(cur, n, q[e], q[(e + 1) % 4], nxt, kClipCap);
     std::swap(cur, nxt);
   }
   if (n < 3) return 0.0;
   return std::fabs(polygon_area(cur, n));
 }
 
-double quad_iou(const double* p8, const double* q8) {
-  double inter = intersect_area(p8, q8);
+double intersect_area(const double* p8, const double* q8) {
   Pt p[4], q[4];
   load_ccw(p8, p);
   load_ccw(q8, q);
+  return intersect_area_verts(p, q);
+}
+
+double quad_iou(const double* p8, const double* q8) {
+  // load/orient each quad ONCE and share between intersection and union
+  Pt p[4], q[4];
+  load_ccw(p8, p);
+  load_ccw(q8, q);
+  double inter = intersect_area_verts(p, q);
   double ua = std::fabs(polygon_area(p, 4)) + std::fabs(polygon_area(q, 4)) - inter;
   // degenerate-union convention of the reference polyiou (polyiou.cpp:121-126)
   if (ua == 0.0) return (inter + 1.0) / (ua + 1.0);
@@ -112,8 +125,15 @@ void poly_nms(const double* boxes, const double* scores, int64_t n,
   for (int64_t i = 0; i < n; ++i) order[i] = i;
   // stable: equal scores keep input order, matching the NumPy fallback's
   // kind='stable' argsort so keep-sets agree with and without the native lib
+  // NaN scores sort LAST (lowest priority) like the NumPy fallback's
+  // argsort; a raw `>` comparator with NaN violates strict weak ordering
+  // (undefined behavior in std::stable_sort)
+  auto key = [&](int64_t i) {
+    double s = scores[i];
+    return std::isnan(s) ? -std::numeric_limits<double>::infinity() : s;
+  };
   std::stable_sort(order.begin(), order.end(),
-                   [&](int64_t a, int64_t b) { return scores[a] > scores[b]; });
+                   [&](int64_t a, int64_t b) { return key(a) > key(b); });
 
   std::vector<double> hb(n * 4);
   for (int64_t i = 0; i < n; ++i) {
