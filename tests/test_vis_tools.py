@@ -64,3 +64,20 @@ def test_visualize_json_results_writes_pngs(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     pngs = [f for f in os.listdir(out) if f.endswith(".png")]
     assert len(pngs) >= 1, (pngs, r.stdout[-500:])
+
+
+def test_run_launcher_user_opts_win(tmp_path):
+    """Regression: run.py must place launcher-derived overrides BEFORE user
+    KEY VALUE opts (merge_from_list is later-wins), so an explicit user
+    SOLVER.MAX_ITER survives --iter-scale."""
+    r = _run(
+        ["tools/run.py", "train", "--config-file", "configs/synthetic/base.yaml",
+         "--tag", "t1", "--iter-scale", "2", "--dry-run",
+         "SOLVER.MAX_ITER", "123"]
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    cmd = r.stdout.strip().splitlines()[-1]
+    # the user's value must appear AFTER the derived one
+    derived = cmd.index("SOLVER.MAX_ITER 500")  # 1000 / scale 2
+    user = cmd.index("SOLVER.MAX_ITER 123")
+    assert user > derived, cmd
