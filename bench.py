@@ -33,6 +33,9 @@ def main():
     from dafne_tpu.config import get_cfg
     from dafne_tpu.engine.trainer import make_eval_step
     from dafne_tpu.models import build_model
+    from dafne_tpu.utils.platform import setup_compilation_cache
+
+    setup_compilation_cache()  # repeat runs skip the 1-5 min remote compile
 
     cfg = get_cfg()
     cfg.MODEL.RESNETS.DEPTH = 50
