@@ -20,6 +20,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from dafne_tpu.utils.platform import setup_compilation_cache
+
+setup_compilation_cache()
+
 import numpy as np
 
 

@@ -24,6 +24,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from dafne_tpu.utils.platform import setup_compilation_cache
+
+setup_compilation_cache()
+
 import numpy as np
 
 BATCH = int(os.environ.get("PROFILE_BATCH", "8"))
