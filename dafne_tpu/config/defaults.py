@@ -233,8 +233,15 @@ def build_defaults() -> CfgNode:
     t.COMPUTE_DTYPE = "bfloat16"  # model compute dtype ("float32" to disable)
     t.PARAM_DTYPE = "float32"
     t.MAX_INSTANCES = 256  # static per-image gt padding
-    t.NMS_MAX_CANDIDATES = 2048  # static NMS input size (score top-k capped;
-    # <= 0 = reference-faithful no-cap: all per-level survivors enter NMS)
+    t.NMS_GROUP_CANDIDATES = 0  # >0: per-class-group NMS budget (exact
+    # decomposition of class-aware NMS — cross-class pairs never suppress;
+    # wins when per-class demand <= budget, loses to the global cap when one
+    # class demands more — see PARITY.md study); 0 = global-cap path
+    t.NMS_MAX_CANDIDATES = 4096  # static NMS input size (score top-k capped;
+    # <= 0 = reference-faithful no-cap: all per-level survivors enter NMS).
+    # 4096 matches the uncapped detection set even on adversarially dense
+    # scenes (tools/decode_deviation_study.py; 2048 lost 4.5 mAP there once
+    # near-duplicate suppression was fixed — see PARITY.md)
     t.EVAL_BATCH = 16  # eval images per step; 16 is the measured v5e
     # throughput knee (171 img/s @8 vs 181 @16 at 1024**2, bench.py)
     t.ASSIGN_IMPL = "auto"  # "auto" | "pallas" | "xla" target assignment

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from dafne_tpu.geometry.quads import enclosing_hbox, sort_quadrilateral
-from dafne_tpu.ops.nms import rotated_nms_batched
+from dafne_tpu.ops.nms import rotated_nms_batched, rotated_nms_grouped_batched
 
 
 @dataclasses.dataclass(frozen=True)
@@ -42,6 +42,8 @@ class DecodeSpec:
     sort_corners: bool = True
     stride_norm: bool = True
     nms_max_candidates: int = 2048
+    nms_group_candidates: int = 0  # >0: per-class-group NMS (see ops/nms.py
+    # rotated_nms_grouped); 0 = global-cap path via nms_max_candidates
     class_merge: Tuple[Tuple[int, int], ...] = ((5, 4),)
     approx_topk: bool = True  # lax.approx_max_k for the per-level top-k
 
@@ -61,6 +63,7 @@ class DecodeSpec:
             sort_corners=d.SORT_CORNERS,
             stride_norm=d.ENABLE_FPN_STRIDE_NORM,
             nms_max_candidates=cfg.TPU.NMS_MAX_CANDIDATES,
+            nms_group_candidates=cfg.TPU.get("NMS_GROUP_CANDIDATES", 512),
             approx_topk=cfg.TPU.get("DECODE_APPROX_TOPK", True),
         )
 
@@ -167,7 +170,13 @@ def decode_detections(
     # per-level top-k survivor enters NMS (the reference feeds all levels'
     # candidates, dafne_outputs.py:785-788,907-912).
     total = cand["scores"].shape[1]
-    m = min(spec.nms_max_candidates, total) if spec.nms_max_candidates > 0 else total
+    if spec.nms_group_candidates > 0:
+        # per-class-group NMS over ALL per-level survivors: no global cap
+        # (a global score cap can starve classes and drop detections on
+        # dense scenes — measured in tools/decode_deviation_study.py)
+        m = total
+    else:
+        m = min(spec.nms_max_candidates, total) if spec.nms_max_candidates > 0 else total
     top_scores, top_idx = jax.lax.top_k(
         jnp.where(cand["valid"], cand["scores"], 0.0), m
     )
@@ -181,9 +190,17 @@ def decode_detections(
     scores = top_scores
     valid = scores > 0.0
 
-    keep = rotated_nms_batched(
-        corners, scores, classes, valid, spec.nms_threshold, spec.class_merge
-    )
+    if spec.nms_group_candidates > 0:
+        keep = rotated_nms_grouped_batched(
+            corners, scores, classes, valid, spec.nms_threshold,
+            spec.class_merge, spec.num_classes,
+            group_k=spec.nms_group_candidates,
+            min_total=max(spec.nms_max_candidates, spec.post_nms_topk),
+        )
+    else:
+        keep = rotated_nms_batched(
+            corners, scores, classes, valid, spec.nms_threshold, spec.class_merge
+        )
 
     # Post-NMS top-k over all classes (dafne_outputs.py:916-923)
     k_out = min(spec.post_nms_topk, m)

@@ -207,3 +207,80 @@ def test_decode_ctr_not_in_score_unmixes():
     assert float(out["scores"][0, 0]) == pytest.approx(cls_prob, abs=1e-4)
     # masked slots stay exactly zero
     assert float(np.asarray(out["scores"])[0, 1:].max()) == 0.0
+
+
+def test_grouped_nms_equals_global():
+    """Per-class-group NMS must equal the global class-aware greedy whenever
+    no group's candidates exceed its budget (exact decomposition)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from dafne_tpu.ops.nms import rotated_nms, rotated_nms_grouped
+
+    rng = np.random.RandomState(5)
+    n = 600
+    cx, cy = rng.uniform(50, 950, (2, n))
+    w, h = rng.uniform(10, 120, (2, n))
+    th = rng.uniform(0, np.pi, n)
+    dx = np.stack([-w, w, w, -w], 1) / 2
+    dy = np.stack([-h, -h, h, h], 1) / 2
+    c, s = np.cos(th)[:, None], np.sin(th)[:, None]
+    quads = np.stack(
+        [cx[:, None] + dx * c - dy * s, cy[:, None] + dx * s + dy * c], 2
+    ).reshape(n, 8).astype(np.float32)
+    # clusters of near-duplicates so suppression actually triggers
+    quads[n // 2:] = quads[: n // 2] + rng.uniform(-4, 4, (n // 2, 8)).astype(
+        np.float32
+    )
+    scores = jnp.asarray(rng.uniform(0.05, 1.0, n).astype(np.float32))
+    classes = jnp.asarray(rng.randint(0, 15, n).astype(np.int32))
+    valid = jnp.ones(n, bool)
+
+    for merge in (((5, 4),), ()):
+        keep_global = np.asarray(
+            rotated_nms(jnp.asarray(quads), scores, classes, valid, 0.1, merge)
+        )
+        keep_grouped = np.asarray(
+            rotated_nms_grouped(
+                jnp.asarray(quads), scores, classes, valid, 0.1, merge,
+                num_classes=15, group_k=256, min_total=0,
+            )
+        )
+        np.testing.assert_array_equal(keep_grouped, keep_global)
+
+
+def test_grouped_nms_no_class_starvation():
+    """A scene dominated by one class must not push other classes' boxes
+    past a global cap: grouped NMS keeps the minority class detections."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from dafne_tpu.ops.nms import rotated_nms_grouped
+
+    rng = np.random.RandomState(9)
+    n_major, n_minor = 500, 8
+    boxes = []
+    for i in range(n_major + n_minor):
+        x0 = rng.uniform(0, 950)
+        y0 = rng.uniform(0, 950)
+        boxes.append([x0, y0, x0 + 20, y0, x0 + 20, y0 + 20, x0, y0 + 20])
+    quads = jnp.asarray(np.asarray(boxes, np.float32))
+    # majority class scores all HIGHER than the minority's
+    scores = jnp.asarray(
+        np.concatenate([
+            rng.uniform(0.5, 1.0, n_major),
+            rng.uniform(0.1, 0.2, n_minor),
+        ]).astype(np.float32)
+    )
+    classes = jnp.asarray(
+        np.concatenate([np.zeros(n_major), np.ones(n_minor)]).astype(np.int32)
+    )
+    valid = jnp.ones(n_major + n_minor, bool)
+    keep = np.asarray(
+        rotated_nms_grouped(
+            quads, scores, classes, valid, 0.1, (), num_classes=2,
+            group_k=64, min_total=0,
+        )
+    )
+    # all 8 minority boxes are disjoint -> all survive despite low rank
+    assert keep[n_major:].sum() == n_minor

@@ -107,7 +107,7 @@ def make_scene(rng, img=1024, n_small=350, n_medium=350, n_noise=(3000, 1000),
     return strides, logits, corners, ctrness, gts
 
 
-def run_decode(strides, logits, corners, ctrness, cap, approx):
+def run_decode(strides, logits, corners, ctrness, cap, approx, group_k=0):
     import jax.numpy as jnp
 
     from dafne_tpu.models.head import compute_locations
@@ -121,6 +121,7 @@ def run_decode(strides, logits, corners, ctrness, cap, approx):
         post_nms_topk=1000,
         nms_threshold=0.1,
         nms_max_candidates=cap,
+        nms_group_candidates=group_k,
         approx_topk=approx,
     )
     locs = [
@@ -185,18 +186,21 @@ def main():
     ]
 
     configs = [
-        ("cap=2048  approx", 2048, True),
-        ("cap=2048  exact ", 2048, False),
-        ("uncapped  approx", 0, True),
-        ("uncapped  exact ", 0, False),
+        ("cap=2048  approx", 2048, True, 0),
+        ("cap=4096  approx", 4096, True, 0),
+        ("grouped K=512   ", 4096, True, 512),
+        ("uncapped  approx", 0, True, 0),
+        ("uncapped  exact ", 0, False, 0),
     ]
     print(f"{n_scenes} scenes, {n_small + n_medium} objects/scene, "
           f"noise {n_noise}, thresh 0.05, pre_topk 2000/level, post_topk 1000")
     print(f"{'config':<18} {'mAP@0.5':>8} {'dets/scene':>10}")
-    for name, cap, approx in configs:
+    for name, cap, approx, group_k in configs:
         maps, ndets = [], []
         for strides, logits, corners, ctrness, gts in scenes:
-            dc, ds, dcl, _ = run_decode(strides, logits, corners, ctrness, cap, approx)
+            dc, ds, dcl, _ = run_decode(
+                strides, logits, corners, ctrness, cap, approx, group_k
+            )
             maps.append(scene_map(dc, ds, dcl, gts))
             ndets.append(len(ds))
         print(f"{name:<18} {np.mean(maps):>8.2f} {np.mean(ndets):>10.0f}")
