@@ -64,6 +64,7 @@ def rotated_nms(
     iou_threshold: float,
     class_merge: Sequence[Tuple[int, int]] = ((5, 4),),
     impl: str = "auto",
+    scores01: bool = False,
 ) -> jnp.ndarray:
     """Greedy class-aware rotated NMS.
 
@@ -76,12 +77,36 @@ def rotated_nms(
     if impl == "auto":
         impl = _default_impl()
 
-    # descending order via ascending argsort of negated keys — a strided
-    # reverse here can crash the XLA:TPU fusion emitter (CLAUDE.md rule /
-    # geometry/iou.py:_as_ccw_batched note) and a stable ascending sort on
-    # -scores keeps FIRST-index order on ties like torch's descending sort
+    # CLASS-MAJOR, score-descending-within-class order (invalid last).
+    # Greedy class-aware NMS decomposes exactly over classes (cross-class
+    # pairs never suppress), so any order that keeps score-descending
+    # WITHIN each merged class yields the identical keep-set — and making
+    # classes contiguous lets the suppression kernel skip every tile pair
+    # whose class ranges don't intersect (most of the matrix for
+    # multi-class scenes).  Ascending sorts of negated keys avoid the
+    # strided reverse (CLAUDE.md rule); stable sort keeps first-index
+    # order on ties like torch's descending sort.
+    merged_all = apply_class_merge(classes, class_merge)
     inf = jnp.asarray(jnp.inf, scores.dtype)
-    order = jnp.argsort(jnp.where(valid, -scores, inf))  # desc, invalid last
+    if scores01:
+        # scores are guaranteed in [0, 1] (decode: sqrt(cls*ctr)) — fuse
+        # (class, -score) into ONE sort key.  Class ids are small ints, so
+        # key < ~128 and the f32 ulp (~1e-5) only affects sub-1e-5 score
+        # near-ties, which fall back to first-index order like exact ties.
+        key = jnp.where(
+            valid,
+            merged_all.astype(scores.dtype) * 2.0
+            + (1.0 - jnp.clip(scores, 0.0, 1.0)),
+            inf,
+        )
+        order = jnp.argsort(key)
+    else:
+        big = jnp.asarray(2**30, jnp.int32)
+        # two single-key stable argsorts compose the (class, -score) order —
+        # a variadic lexsort lowers poorly on TPU (measured +19 ms/batch)
+        order1 = jnp.argsort(jnp.where(valid, -scores, inf))  # score desc
+        cls1 = jnp.where(valid[order1], merged_all[order1].astype(jnp.int32), big)
+        order = order1[jnp.argsort(cls1, stable=True)]  # class-major, stable
 
     s_corners = corners[order]
     s_valid = valid[order]
@@ -120,11 +145,11 @@ def rotated_nms(
 
 def rotated_nms_batched(corners, scores, classes, valid, iou_threshold,
                         class_merge: Sequence[Tuple[int, int]] = ((5, 4),),
-                        impl: str = "auto"):
+                        impl: str = "auto", scores01: bool = False):
     """vmap over a batch: corners [B,N,8], scores [B,N], ... -> keep [B,N]."""
     return jax.vmap(
         lambda c, s, cl, v: rotated_nms(
-            c, s, cl, v, iou_threshold, class_merge, impl
+            c, s, cl, v, iou_threshold, class_merge, impl, scores01
         )
     )(corners, scores, classes, valid)
 
@@ -152,10 +177,14 @@ def _nms_single_group(corners, scores, valid, iou_threshold, impl):
     iou = quad_iou_matrix(corners, corners)
     later = jnp.arange(k)[None, :] > jnp.arange(k)[:, None]
     suppress_mat = (iou > iou_threshold) & later
-    sf = suppress_mat.astype(jnp.float32)
+    s8 = suppress_mat.astype(jnp.int8)
 
     def step(kv):
-        return valid & ~(jnp.matmul(kv.astype(jnp.float32), sf) > 0.5)
+        return valid & ~(
+            jnp.matmul(
+                kv.astype(jnp.int8), s8, preferred_element_type=jnp.int32
+            ) > 0
+        )
 
     def cond(state):
         kv, prev, it = state

@@ -177,9 +177,15 @@ def decode_detections(
         m = total
     else:
         m = min(spec.nms_max_candidates, total) if spec.nms_max_candidates > 0 else total
-    top_scores, top_idx = jax.lax.top_k(
-        jnp.where(cand["valid"], cand["scores"], 0.0), m
-    )
+    masked = jnp.where(cand["valid"], cand["scores"], 0.0)
+    if spec.approx_topk and m < total and total > 2048:
+        # exact top_k with k ~ n/2 degenerates into a full variadic sort on
+        # TPU (~20 ms/batch at m=4096 of 9856); approx_max_k stays fast and
+        # its <1% recall loss sits in the same tail the per-level approx
+        # top-k already accepts (measured mAP-neutral in the study)
+        top_scores, top_idx = jax.lax.approx_max_k(masked, m, recall_target=0.99)
+    else:
+        top_scores, top_idx = jax.lax.top_k(masked, m)
     take = lambda a: jnp.take_along_axis(
         a, top_idx.reshape(top_idx.shape + (1,) * (a.ndim - 2)), axis=1
     )
@@ -199,7 +205,8 @@ def decode_detections(
         )
     else:
         keep = rotated_nms_batched(
-            corners, scores, classes, valid, spec.nms_threshold, spec.class_merge
+            corners, scores, classes, valid, spec.nms_threshold,
+            spec.class_merge, scores01=True,  # decode scores = sqrt(cls*ctr)
         )
 
     # Post-NMS top-k over all classes (dafne_outputs.py:916-923)

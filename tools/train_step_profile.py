@@ -329,11 +329,14 @@ def main():
         classes = jnp.asarray(rng.randint(0, 15, (BATCH, m)).astype(np.int32))
         valid = jnp.ones((BATCH, m), bool)
         # suppression_matrix's documented precondition (and the production
-        # path through rotated_nms): rows score-sorted desc, CCW order —
-        # chain depth (greedy_scan's trip count) depends on it
+        # path through rotated_nms): CLASS-MAJOR, score-desc within class,
+        # CCW rows — both the kernel's class-range tile skip and
+        # greedy_scan's trip count depend on it
         from dafne_tpu.ops.nms import _as_ccw_rows
 
-        order = np.argsort(-np.asarray(scores), axis=1)
+        order = np.lexsort(
+            (-np.asarray(scores), np.asarray(classes)), axis=-1
+        )
         sorted_corners = jnp.asarray(
             np.take_along_axis(quads, order[:, :, None], axis=1)
         )
