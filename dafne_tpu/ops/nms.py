@@ -240,9 +240,13 @@ def rotated_nms_grouped(
     # per-group top-K by score (scores are 0 for invalid; use -1 sentinel so
     # zero-score valid candidates still rank above padding)
     in_group = merged[None, :] == group_ids[:, None]  # [G, N]
-    gscores = jnp.where(in_group & valid[None, :], scores[None, :], -1.0)
+    gmask = in_group & valid[None, :]
+    gscores = jnp.where(gmask, scores[None, :], -1.0)
     top_scores, top_idx = jax.lax.top_k(gscores, k)  # [G, K] desc
-    gvalid = top_scores > 0.0
+    # validity of a slot = the gathered candidate's own valid/in-group mask
+    # (NOT score > 0 — a valid candidate with score exactly 0.0 stays alive,
+    # consistent with rotated_nms honoring the valid mask)
+    gvalid = jnp.take_along_axis(gmask, top_idx, axis=1)
     gcorners = corners[top_idx]  # [G, K, 8] row gather
 
     keep_g = jax.vmap(

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from dafne_tpu.geometry.quads import enclosing_hbox, sort_quadrilateral
 from dafne_tpu.ops.nms import rotated_nms_batched, rotated_nms_grouped_batched
+from dafne_tpu.ops.topk import exact_topk_set
 
 
 @dataclasses.dataclass(frozen=True)
@@ -63,7 +64,7 @@ class DecodeSpec:
             sort_corners=d.SORT_CORNERS,
             stride_norm=d.ENABLE_FPN_STRIDE_NORM,
             nms_max_candidates=cfg.TPU.NMS_MAX_CANDIDATES,
-            nms_group_candidates=cfg.TPU.get("NMS_GROUP_CANDIDATES", 512),
+            nms_group_candidates=cfg.TPU.get("NMS_GROUP_CANDIDATES", 0),
             approx_topk=cfg.TPU.get("DECODE_APPROX_TOPK", True),
         )
 
@@ -105,6 +106,11 @@ def decode_single_level(
         top_scores, top_idx = jax.lax.approx_max_k(
             flat_scores, k, recall_target=0.99
         )
+    elif hw * c > 4 * k:
+        # exact WITHOUT the degenerate variadic sort: bitwise-bisection
+        # set selection (ops/topk.py); candidate order is index-ascending,
+        # which decode never depends on (NMS re-sorts internally)
+        top_scores, top_idx = exact_topk_set(flat_scores, k)
     else:
         top_scores, top_idx = jax.lax.top_k(flat_scores, k)  # [N, k]
     loc_idx = top_idx // c
@@ -122,9 +128,11 @@ def decode_single_level(
     lx = (loc_idx % w).astype(jnp.float32) * stride + stride // 2
     ly = (loc_idx // w).astype(jnp.float32) * stride + stride // 2
     sel_loc = jnp.stack([lx, ly], axis=-1)  # [N, k, 2]
+    # NOTE: corner sorting is deferred to decode_detections, after the
+    # global candidate cap — sorting is per-candidate, so commuting it past
+    # the score top-k is exact while doing ~40% of the work (the per-level
+    # survivors total ~10k vs the 4096 cap).
     polys = sel_reg + jnp.tile(sel_loc, (1, 1, 4))
-    if spec.sort_corners:
-        polys = sort_quadrilateral(polys)
 
     sel_ctr = jnp.take_along_axis(ctr_prob, loc_idx, axis=1)
     return {
@@ -170,31 +178,44 @@ def decode_detections(
     # per-level top-k survivor enters NMS (the reference feeds all levels'
     # candidates, dafne_outputs.py:785-788,907-912).
     total = cand["scores"].shape[1]
+    masked = jnp.where(cand["valid"], cand["scores"], 0.0)
     if spec.nms_group_candidates > 0:
         # per-class-group NMS over ALL per-level survivors: no global cap
         # (a global score cap can starve classes and drop detections on
-        # dense scenes — measured in tools/decode_deviation_study.py)
+        # dense scenes — measured in tools/decode_deviation_study.py).
+        # No global top-k either: a full ~10k sort is the degenerate TPU
+        # case and buys nothing — the grouped NMS does its own per-group
+        # top-k and the post-NMS top-k orders the output.
         m = total
+        corners, classes = cand["corners"], cand["classes"]
+        ctr, locs, scores = cand["centerness"], cand["locations"], masked
     else:
         m = min(spec.nms_max_candidates, total) if spec.nms_max_candidates > 0 else total
-    masked = jnp.where(cand["valid"], cand["scores"], 0.0)
-    if spec.approx_topk and m < total and total > 2048:
-        # exact top_k with k ~ n/2 degenerates into a full variadic sort on
-        # TPU (~20 ms/batch at m=4096 of 9856); approx_max_k stays fast and
-        # its <1% recall loss sits in the same tail the per-level approx
-        # top-k already accepts (measured mAP-neutral in the study)
-        top_scores, top_idx = jax.lax.approx_max_k(masked, m, recall_target=0.99)
-    else:
-        top_scores, top_idx = jax.lax.top_k(masked, m)
-    take = lambda a: jnp.take_along_axis(
-        a, top_idx.reshape(top_idx.shape + (1,) * (a.ndim - 2)), axis=1
-    )
-    corners = take(cand["corners"])
-    classes = jnp.take_along_axis(cand["classes"], top_idx, axis=1)
-    ctr = jnp.take_along_axis(cand["centerness"], top_idx, axis=1)
-    locs = take(cand["locations"])
-    scores = top_scores
+        if spec.approx_topk and m < total and total > 2048:
+            # exact top_k with k ~ n/2 degenerates into a full variadic sort
+            # on TPU (~20 ms/batch at m=4096 of 9856); approx_max_k stays
+            # fast and its <1% recall loss sits in the same tail the
+            # per-level approx top-k already accepts (measured mAP-neutral
+            # in the study)
+            top_scores, top_idx = jax.lax.approx_max_k(masked, m, recall_target=0.99)
+        elif m < total and total > 2048:
+            top_scores, top_idx = exact_topk_set(masked, m)
+        else:
+            top_scores, top_idx = jax.lax.top_k(masked, m)
+        take = lambda a: jnp.take_along_axis(
+            a, top_idx.reshape(top_idx.shape + (1,) * (a.ndim - 2)), axis=1
+        )
+        corners = take(cand["corners"])
+        classes = jnp.take_along_axis(cand["classes"], top_idx, axis=1)
+        ctr = jnp.take_along_axis(cand["centerness"], top_idx, axis=1)
+        locs = take(cand["locations"])
+        scores = top_scores
     valid = scores > 0.0
+    # Canonical corner sort, deferred from decode_single_level to after the
+    # cap (still before NMS, preserving the reference's sort-then-NMS order,
+    # dafne_outputs.py:874-876 — NMS IoU needs proper polygon vertex order).
+    if spec.sort_corners:
+        corners = sort_quadrilateral(corners)
 
     if spec.nms_group_candidates > 0:
         keep = rotated_nms_grouped_batched(

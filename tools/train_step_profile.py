@@ -484,12 +484,9 @@ def main():
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "PROFILE_TRAIN.json",
     )
-    if BATCH != 8:  # non-default batch: suffix keys so b8 numbers survive
-        results = {
-            (f"{k}_b{BATCH}" if k.endswith("_ms") else k): v
-            for k, v in results.items()
-        }
+    if BATCH != 8:  # non-default batch: suffix ALL keys so b8 numbers survive
         results.pop("batch", None)
+        results = {f"{k}_b{BATCH}": v for k, v in results.items()}
     if os.path.exists(out):  # merge so partial-phase runs accumulate
         with open(out) as f:
             prev = json.load(f)
