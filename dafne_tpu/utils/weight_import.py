@@ -170,6 +170,28 @@ def _map_key(
         )
 
     # ----- DAFNe head ----------------------------------------------------------
+    # BN/SyncBN towers: ModuleListDial (one BatchNorm per FPN level) is an
+    # nn.ModuleList, so checkpoint keys are `tower.{3i+1}.{level}.{leaf}`
+    # (dafne.py:330-343).  weight/bias -> flax BatchNorm params scale/bias;
+    # running stats -> the batch_stats collection (callers merge it in via
+    # merge_batch_stats / split_batch_stats).
+    m = re.match(
+        r"proposal_generator\.dafne_head\.(cls|corners|center|share)_tower\."
+        r"(\d+)\.(\d+)\.(weight|bias|running_mean|running_var|num_batches_tracked)$",
+        k,
+    )
+    if m:
+        tower, idx, lvl, leaf = m[1], int(m[2]), int(m[3]), m[4]
+        if leaf == "num_batches_tracked":
+            return ("__ignored__",), "ignore"
+        s_ = (tower_strides or {}).get(tower, 3)
+        leaf_name = {
+            "weight": "scale", "bias": "bias",
+            "running_mean": "mean", "running_var": "var",
+        }[leaf]
+        return (
+            "head", f"{tower}_tower", f"norm{idx // s_}_level{lvl}", leaf_name
+        ), "b"
     m = re.match(
         r"proposal_generator\.dafne_head\.(cls|corners|center|share)_tower\.(\d+)\.(weight|bias)$",
         k,
@@ -230,6 +252,9 @@ def import_state_dict(
             report.unmatched.append(key)
             continue
         path_t, kind = mapped
+        if kind == "ignore":  # e.g. BatchNorm num_batches_tracked
+            report.used.append(key)
+            continue
         if kind == "scale_elem":
             scales_updates[path_t[-1]] = float(np.asarray(value).reshape(()))
             report.used.append(key)
@@ -269,6 +294,54 @@ def import_state_dict(
     if report.unmatched[:10]:
         logger.info(f"first unmatched: {report.unmatched[:10]}")
     return _unflatten(flat, params), report
+
+
+def merge_batch_stats(params, batch_stats):
+    """Deep-merge the flax `batch_stats` collection into a copy of `params`.
+
+    BN-recipe checkpoints (head NORM: BN/SyncBN) carry running stats for the
+    per-level BatchNorms (ModuleListDial, dafne.py:330-343); flax keeps
+    those in a separate `batch_stats` collection whose tree mirrors the
+    params tree with leaves `mean`/`var`.  Merging lets import_state_dict
+    fill both in one pass; split back with split_batch_stats.
+    """
+    if batch_stats is None:
+        return params
+    if not isinstance(params, dict):
+        return params
+    out = dict(params)
+    for k, v in batch_stats.items():
+        if k in out and isinstance(out[k], dict):
+            out[k] = merge_batch_stats(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
+def split_batch_stats(merged):
+    """Inverse of merge_batch_stats: pull leaves named `mean`/`var` (flax
+    BatchNorm running stats) into a separate batch_stats tree.  Returns
+    (params, batch_stats) with batch_stats None when no BN stats exist.
+    FrozenBN stats are params named running_mean/running_var, so they are
+    unaffected."""
+
+    def walk(tree):
+        params, stats = {}, {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                p, s = walk(v)
+                if p:
+                    params[k] = p
+                if s:
+                    stats[k] = s
+            elif k in ("mean", "var"):
+                stats[k] = v
+            else:
+                params[k] = v
+        return params, stats
+
+    params, stats = walk(merged)
+    return params, (stats or None)
 
 
 def load_reference_weights(path: str, params, strict: bool = False):
