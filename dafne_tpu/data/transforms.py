@@ -242,12 +242,53 @@ def build_test_augmentation(cfg, w: int, h: int) -> AffineAug:
     return resize(w, h, cfg.INPUT.RESIZE_WIDTH_TEST, cfg.INPUT.RESIZE_HEIGHT_TEST)
 
 
+# detectron2 RandomLighting PCA basis (AlexNet-style ImageNet eigen
+# decomposition, d2 augmentation_impl.py)
+_LIGHTING_EIGEN_VECS = np.array(
+    [
+        [-0.5675, 0.7192, 0.4009],
+        [-0.5808, -0.0045, -0.8140],
+        [-0.5836, -0.6948, 0.4203],
+    ]
+)
+_LIGHTING_EIGEN_VALS = np.array([0.2175, 0.0188, 0.0045])
+
+
 def apply_color_augmentations(img: np.ndarray, rng: np.random.RandomState) -> np.ndarray:
-    """Brightness/contrast/saturation jitter (INPUT.USE_COLOR_AUGMENTATIONS)."""
-    img = img.astype(np.float32)
-    img = img * rng.uniform(0.9, 1.1)  # brightness
-    mean = img.mean()
-    img = (img - mean) * rng.uniform(0.9, 1.1) + mean  # contrast
-    gray = img.mean(axis=2, keepdims=True)
-    img = (img - gray) * rng.uniform(0.9, 1.1) + gray  # saturation
-    return np.clip(img, 0, 255)
+    """Detectron2-parity color jitter (INPUT.USE_COLOR_AUGMENTATIONS).
+
+    Reproduces the reference's exact aug list and order
+    (plain_train_net.py:259-268): RandomLighting(scale=1.0),
+    RandomBrightness(0.5, 1.5), RandomContrast(0.5, 1.5),
+    RandomSaturation(0.5, 1.5).  Each is a d2 BlendTransform
+    `out = src_weight * src + dst_weight * img`; with uint8 input d2 clips
+    to [0, 255] and truncates back to uint8 BETWEEN stages — reproduced so
+    pixel-level behavior matches.  The saturation/lighting coefficient
+    vectors are RGB-ordered but applied to whatever channel order arrives
+    (BGR in every shipped recipe) exactly like the reference does — d2
+    assumes RGB, DAFNe feeds BGR, and the quirk is kept for parity.
+    """
+    was_uint8 = img.dtype == np.uint8
+
+    def blend(src, src_w, dst_w, im):
+        out = src_w * src + dst_w * im.astype(np.float32)
+        if was_uint8:
+            return np.clip(out, 0, 255).astype(np.uint8)
+        return out.astype(np.float32)
+
+    # RandomLighting(scale=1.0): additive PCA color shift
+    weights = rng.normal(scale=1.0, size=3)
+    img = blend(
+        _LIGHTING_EIGEN_VECS.dot(weights * _LIGHTING_EIGEN_VALS), 1.0, 1.0, img
+    )
+    # RandomBrightness: out = w * img
+    w = rng.uniform(0.5, 1.5)
+    img = blend(0.0, 1.0 - w, w, img)
+    # RandomContrast: out = (1-w) * mean(img) + w * img
+    w = rng.uniform(0.5, 1.5)
+    img = blend(img.astype(np.float32).mean(), 1.0 - w, w, img)
+    # RandomSaturation: out = (1-w) * grayscale + w * img
+    w = rng.uniform(0.5, 1.5)
+    gray = img.astype(np.float32).dot([0.299, 0.587, 0.114])[:, :, None]
+    img = blend(gray, 1.0 - w, w, img)
+    return img

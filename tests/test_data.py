@@ -319,3 +319,50 @@ def test_grain_eval_epoch_is_exactly_one_pass():
     # second iteration restarts cleanly (fresh epoch)
     n2 = sum(int(b["batch_valid"].sum()) for b in dl)
     assert n2 == 7
+
+
+def test_color_augmentations_match_detectron2_formulas():
+    """apply_color_augmentations reproduces the reference's exact aug stack
+    (plain_train_net.py:259-268): RandomLighting(1.0) then brightness /
+    contrast / saturation each U(0.5, 1.5), as d2 BlendTransforms with
+    uint8 clip+truncate between stages.  The expectation below is an
+    independent step-by-step restatement of the d2 formulas."""
+    rng = np.random.RandomState(7)
+    img = np.random.RandomState(0).randint(0, 256, (23, 31, 3), np.uint8)
+    got = T.apply_color_augmentations(img, rng)
+    assert got.dtype == np.uint8
+
+    # independent restatement with an identically-seeded rng
+    r2 = np.random.RandomState(7)
+    x = img.astype(np.float32)
+    u8 = lambda a: np.clip(a, 0, 255).astype(np.uint8)
+    # RandomLighting(scale=1.0): img + eigvecs @ (normal(3) * eigvals)
+    vecs = np.array([[-0.5675, 0.7192, 0.4009],
+                     [-0.5808, -0.0045, -0.8140],
+                     [-0.5836, -0.6948, 0.4203]])
+    vals = np.array([0.2175, 0.0188, 0.0045])
+    x = u8(x + vecs.dot(r2.normal(scale=1.0, size=3) * vals))
+    w = r2.uniform(0.5, 1.5)                      # brightness: w * img
+    x = u8(w * x.astype(np.float32))
+    w = r2.uniform(0.5, 1.5)                      # contrast: blend with mean
+    x = u8((1 - w) * x.astype(np.float32).mean() + w * x.astype(np.float32))
+    w = r2.uniform(0.5, 1.5)                      # saturation: blend with gray
+    gray = x.astype(np.float32).dot([0.299, 0.587, 0.114])[:, :, None]
+    x = u8((1 - w) * gray + w * x.astype(np.float32))
+    np.testing.assert_array_equal(got, x)
+
+    # float input stays float (no clipping -- d2 BlendTransform float path)
+    rng = np.random.RandomState(3)
+    f = np.random.RandomState(1).uniform(0, 255, (9, 9, 3)).astype(np.float32)
+    out = T.apply_color_augmentations(f, rng)
+    assert out.dtype == np.float32
+
+    # distribution sanity: intensity factors really span 0.5-1.5 (the old
+    # implementation used 0.9-1.1 -- this guards the documented knob)
+    factors = []
+    base = np.full((8, 8, 3), 100, np.uint8)
+    for seed in range(200):
+        r = np.random.RandomState(seed)
+        r.normal(scale=1.0, size=3)  # skip lighting draws
+        factors.append(r.uniform(0.5, 1.5))
+    assert min(factors) < 0.6 and max(factors) > 1.4
