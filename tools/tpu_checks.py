@@ -181,6 +181,153 @@ def check_nms_end_to_end(rng, results):
     assert agree > 0.995, results["nms_e2e"]
 
 
+def dota_like_candidates(rng, n, num_classes=15):
+    """Candidate mix shaped like a dense DOTA scene at the shipped budget:
+    imbalanced classes (vehicles dominate), heavy near-duplicate overlap
+    (each object proposed ~4x with jitter, like neighboring FPN locations),
+    a few exact score ties and zero-score-but-valid slots, and a tail of
+    invalid padding."""
+    base = n // 5
+    quads = random_quads(base, rng)
+    reps = [quads]
+    for _ in range(3):
+        reps.append(quads + rng.normal(0, 3, quads.shape).astype(np.float32))
+    extra = random_quads(n - 4 * base, rng)
+    quads = np.concatenate(reps + [extra], 0)
+    # class imbalance: ~40% small-vehicle(4)/large-vehicle(5) (the merged
+    # pair), rest spread over the other 13
+    cls_obj = np.where(
+        rng.rand(base) < 0.4,
+        rng.choice([4, 5], base),
+        rng.randint(0, num_classes, base),
+    ).astype(np.int32)
+    classes = np.concatenate(
+        [cls_obj] * 4 + [rng.randint(0, num_classes, n - 4 * base)]
+    ).astype(np.int32)
+    scores = rng.uniform(0.05, 1.0, n).astype(np.float32)
+    scores[: base // 8] = scores[base : base + base // 8]  # exact ties
+    valid = rng.rand(n) > 0.05  # some masked slots like a padded decode
+    scores[~valid] = 0.0
+    zero_valid = valid & (rng.rand(n) < 0.002)
+    scores[zero_valid] = 0.0  # zero-score valid candidates stay eligible
+    return quads, scores, classes, valid
+
+
+def check_nms_shipped_scale(rng, results):
+    """Keep-set equality at the SHIPPED candidate budget (VERDICT r2 #4):
+    n=4096 = TPU.NMS_MAX_CANDIDATES with a realistic 15-class mix, the
+    class-4/5 merge, ties, and invalid padding — exercising the class-major
+    tile skipping and int8 Jacobi mat-vec at full size.  Pallas keep ==
+    XLA keep exactly; both >=0.995 vs the float64 host greedy."""
+    import jax
+    import jax.numpy as jnp
+
+    from dafne_tpu.ops.nms import rotated_nms
+    from dafne_tpu.utils import polyiou
+
+    n, th = 4096, 0.1
+    quads, scores, classes, valid = dota_like_candidates(rng, n)
+    args = (
+        jnp.asarray(quads), jnp.asarray(scores), jnp.asarray(classes),
+        jnp.asarray(valid),
+    )
+    run = lambda impl: np.asarray(
+        jax.jit(
+            lambda q, s, c, v: rotated_nms(
+                q, s, c, v, th, impl=impl, scores01=True
+            )
+        )(*args)
+    )
+    keep_pl = run("pallas")
+    keep_x = run("xla")
+    agreement_pl_xla = float((keep_pl == keep_x).mean())
+
+    # float64 host greedy on the merged-class view
+    merged = np.where(classes == 5, 4, classes)
+    order = np.lexsort((-scores, merged))  # class-major, score desc
+    iou = polyiou.iou_poly_matrix(
+        quads.astype(np.float64), quads.astype(np.float64)
+    )
+    ref_keep = np.zeros(n, bool)
+    alive = valid.copy()
+    for i in order:
+        if not alive[i]:
+            continue
+        ref_keep[i] = True
+        kill = (iou[i] > th) & (merged == merged[i]) & alive
+        kill[i] = False
+        alive &= ~kill
+    results["nms_shipped_scale"] = {
+        "n": n, "kept_pallas": int(keep_pl.sum()), "kept_xla": int(keep_x.sum()),
+        "kept_ref64": int(ref_keep.sum()),
+        "pallas_xla_agreement": agreement_pl_xla,
+        "ref_agreement": float((keep_pl == ref_keep).mean()),
+        "zero_score_valid_kept": int(
+            (keep_pl & valid & (scores == 0.0)).sum()
+        ),
+    }
+    assert agreement_pl_xla == 1.0, results["nms_shipped_scale"]
+    assert results["nms_shipped_scale"]["ref_agreement"] > 0.995, (
+        results["nms_shipped_scale"]
+    )
+
+
+def check_nms_grouped(rng, results):
+    """rotated_nms_grouped on-chip (VERDICT r2 #4): Pallas == XLA keep-set
+    at n=4096/group_k=512, and exact equality with global rotated_nms in
+    the regime where no group overflows its budget."""
+    import jax
+    import jax.numpy as jnp
+
+    from dafne_tpu.ops.nms import rotated_nms, rotated_nms_grouped
+
+    n, th = 4096, 0.1
+    quads, scores, classes, valid = dota_like_candidates(rng, n)
+    args = (
+        jnp.asarray(quads), jnp.asarray(scores), jnp.asarray(classes),
+        jnp.asarray(valid),
+    )
+    rung = lambda impl: np.asarray(
+        jax.jit(
+            lambda q, s, c, v: rotated_nms_grouped(
+                q, s, c, v, th, num_classes=15, group_k=512, impl=impl
+            )
+        )(*args)
+    )
+    keep_gp = rung("pallas")
+    keep_gx = rung("xla")
+    agreement = float((keep_gp == keep_gx).mean())
+
+    # equality-with-global regime: a smaller mix where every merged class
+    # group holds well under 512 candidates
+    q2, s2, c2, v2 = dota_like_candidates(rng, 1024)
+    args2 = (jnp.asarray(q2), jnp.asarray(s2), jnp.asarray(c2), jnp.asarray(v2))
+    kg = np.asarray(
+        jax.jit(
+            lambda q, s, c, v: rotated_nms_grouped(
+                q, s, c, v, th, num_classes=15, group_k=512, impl="pallas"
+            )
+        )(*args2)
+    )
+    kglob = np.asarray(
+        jax.jit(
+            lambda q, s, c, v: rotated_nms(
+                q, s, c, v, th, impl="pallas", scores01=True
+            )
+        )(*args2)
+    )
+    results["nms_grouped"] = {
+        "n": n, "group_k": 512,
+        "kept_pallas": int(keep_gp.sum()), "kept_xla": int(keep_gx.sum()),
+        "pallas_xla_agreement": agreement,
+        "vs_global_n1024_agreement": float((kg == kglob).mean()),
+    }
+    assert agreement == 1.0, results["nms_grouped"]
+    assert results["nms_grouped"]["vs_global_n1024_agreement"] == 1.0, (
+        results["nms_grouped"]
+    )
+
+
 def main():
     import jax
 
@@ -190,6 +337,8 @@ def main():
     check_suppression(rng, results)
     check_assign(rng, results)
     check_nms_end_to_end(rng, results)
+    check_nms_shipped_scale(rng, results)
+    check_nms_grouped(rng, results)
     results["elapsed_s"] = round(time.perf_counter() - t0, 1)
     results["ok"] = True
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "VERIFY_TPU.json")

@@ -1,0 +1,119 @@
+#!/usr/bin/env python3
+"""TTA canary: the TTA merge path with REAL detections (VERDICT r2 #5).
+
+Round 2 proved the TTA ladder runs without OOM and that the inversion math
+is correct — but on random weights it only ever merged EMPTY detection
+sets on hardware.  This tool trains the synthetic overfit-32 canary to
+convergence on-chip, then runs the full bucketed TTA eval path with the
+trained weights and asserts:
+
+  1. the merged TTA detections are NONZERO (the merge logic finally sees
+     real overlapping multi-copy candidates),
+  2. TTA-mAP >= plain-mAP - 2.0 on the canary set (TTA must not destroy
+     detections; on an overfit set the two are typically both ~saturated).
+
+Writes TTA_CANARY.json (committed per-round artifact).
+Run:  python tools/tta_canary.py          (real chip, ~4-6 min)
+Env:  CANARY_ITERS (default 600), DAFNE_PLATFORM=cpu for a slow CPU check.
+
+Matches: /root/reference/dafne/modeling/tta.py:199-268 (TTA inference and
+NMS merge), headline recipe TTA settings
+/root/reference/configs/pre-trained/dota-1.0_r101_ms.yaml:394-399.
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from dafne_tpu.utils.platform import pin_platform_from_env, setup_compilation_cache
+
+pin_platform_from_env()
+setup_compilation_cache()
+
+
+def main():
+    import numpy as np
+
+    from dafne_tpu.config import load_config
+    from dafne_tpu.data.mapper import read_image
+    from dafne_tpu.data.registry import get_dataset, register_all_datasets
+    from dafne_tpu.engine.train_loop import do_test, do_train, setup_logging
+    from dafne_tpu.engine.tta import (
+        BucketedEvalSteps, do_test_with_tta, tta_inference_single,
+    )
+    from dafne_tpu.models import build_model
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = load_config(os.path.join(repo, "configs", "synthetic", "base.yaml"))
+    cfg.DEBUG.OVERFIT_NUM_IMAGES = 32
+    cfg.SOLVER.MAX_ITER = int(os.environ.get("CANARY_ITERS", 600))
+    cfg.SOLVER.CHECKPOINT_PERIOD = 10_000_000  # final save only
+    cfg.TEST.EVAL_PERIOD = 0
+    # evaluate the TRAIN images (overfit target); multi-scale TTA ladder
+    # around the 256px canary resolution + flips, like the headline recipe's
+    # shape (scaled down)
+    cfg.DATASETS.TEST = ["synthetic_train"]
+    cfg.TEST.AUG.ENABLED = True
+    cfg.TEST.AUG.MIN_SIZES = [192, 256, 320]
+    cfg.TEST.AUG.MAX_SIZE = 512
+    cfg.OUTPUT_DIR = tempfile.mkdtemp(prefix="tta_canary_")
+    cfg.freeze()
+
+    setup_logging(cfg.OUTPUT_DIR)
+    register_all_datasets(cfg)
+    model = build_model(cfg)
+
+    t0 = time.perf_counter()
+    state = do_train(cfg, model)
+    train_s = round(time.perf_counter() - t0, 1)
+
+    plain = do_test(
+        cfg, model, state.params, cfg.OUTPUT_DIR, batch_stats=state.batch_stats
+    )
+    plain_map = plain["synthetic_train"]["mAP"]
+
+    # direct single-image detection count through the TTA path
+    records = get_dataset("synthetic_train", cfg)
+    steps = BucketedEvalSteps(cfg, model)
+    img = records[0].get("image")
+    if img is None:
+        img = read_image(records[0]["file_name"], cfg.INPUT.FORMAT)
+    det0 = tta_inference_single(
+        cfg, steps, state.params, img, state.batch_stats
+    )
+    tta = do_test_with_tta(
+        cfg, model, state.params, cfg.OUTPUT_DIR, batch_stats=state.batch_stats
+    )
+    tta_map = tta["synthetic_train"]["mAP"]
+
+    n_augs = 2 * 3 + 3  # MIN_SIZES x {base, hflip, vflip}
+    results = {
+        "iters": cfg.SOLVER.MAX_ITER,
+        "train_s": train_s,
+        "plain_mAP": round(plain_map, 2),
+        "tta_mAP": round(tta_map, 2),
+        "tta_detections_img0": int(len(det0["scores"])),
+        "tta_augs": n_augs,
+        "gt_img0": int(len(records[0]["annotations"])),
+        "device": os.environ.get("DAFNE_PLATFORM", "tpu"),
+    }
+    ok = (
+        results["tta_detections_img0"] > 0
+        and tta_map >= plain_map - 2.0
+        and plain_map > 50.0  # the canary genuinely converged
+    )
+    results["ok"] = bool(ok)
+    out = os.path.join(repo, "TTA_CANARY.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results))
+    if not ok:
+        raise SystemExit(f"TTA canary failed: {results}")
+
+
+if __name__ == "__main__":
+    main()
