@@ -387,7 +387,7 @@ def main():
             )
             print("greedy_only", results["greedy_only_ms"], flush=True)
 
-    if "decode_only" in phases or "decode_no_sort" in phases:
+    if "decode_only" in phases or "decode_no_sort" in phases or "decode_exact" in phases:
         from dafne_tpu.engine.trainer import make_location_tables
         from dafne_tpu.ops.postprocess import DecodeSpec, decode_detections
 
@@ -421,6 +421,16 @@ def main():
             )
             results["decode_no_sort_ms"] = round(run_decode(spec_ns), 1)
             print("decode_no_sort", results["decode_no_sort_ms"], flush=True)
+        if "decode_exact" in phases:
+            import dataclasses as _dc
+
+            # exact top-k in BOTH decode stages via ops/topk.py bisection
+            # (the DECODE_APPROX_TOPK=False path)
+            spec_ex = _dc.replace(
+                DecodeSpec.from_config(cfg, train=False), approx_topk=False
+            )
+            results["decode_exact_ms"] = round(run_decode(spec_ex), 1)
+            print("decode_exact", results["decode_exact_ms"], flush=True)
 
     if "tta_r101" in phases:
         # VERDICT r1 #3 done-criterion: the headline dota-1.0_r101_ms TTA aug

@@ -48,9 +48,16 @@ def main():
     from dafne_tpu.models import build_model
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    cfg = load_config(os.path.join(repo, "configs", "synthetic", "base.yaml"))
+    cfg = load_config(
+        os.path.join(repo, "configs", "synthetic", "base.yaml"), freeze=False
+    )
     cfg.DEBUG.OVERFIT_NUM_IMAGES = 32
-    cfg.SOLVER.MAX_ITER = int(os.environ.get("CANARY_ITERS", 600))
+    cfg.SOLVER.MAX_ITER = int(os.environ.get("CANARY_ITERS", 800))
+    # train across the TTA scale ladder (like the reference's ms recipes):
+    # a fixed-scale model makes the off-scale TTA copies strictly worse and
+    # the TTA>=plain assertion meaningless
+    cfg.INPUT.MIN_SIZE_TRAIN = [192, 224, 256, 288, 320]
+    cfg.INPUT.MAX_SIZE_TRAIN = 512
     cfg.SOLVER.CHECKPOINT_PERIOD = 10_000_000  # final save only
     cfg.TEST.EVAL_PERIOD = 0
     # evaluate the TRAIN images (overfit target); multi-scale TTA ladder
