@@ -119,8 +119,16 @@ def rotated_nms(
 
         pad = (-n) % TILE
         pc = jnp.pad(_as_ccw_rows(s_corners), ((0, pad), (0, 0)))
-        # padded slots get a unique sentinel class so they never interact
-        pk = jnp.pad(s_classes, ((0, pad),), constant_values=-1)
+        # padded AND invalid slots get the sentinel class so the kernel's
+        # class-interaction test skips their tiles outright.  Invalid slots
+        # sort last (contiguous), so sparse candidate sets — the normal
+        # trained-model case, where most of the 4096 budget is below
+        # threshold — skip most of the matrix; semantics are unchanged
+        # because greedy keep_init is already False for invalid slots
+        # (measured: 28 ms of pure-invalid IoU work at batch 8 without this)
+        pk = jnp.pad(
+            jnp.where(s_valid, s_classes, -1), ((0, pad),), constant_values=-1
+        )
         pv = jnp.pad(s_valid, ((0, pad),))
         suppress = suppression_matrix(pc, pk, iou_threshold)
         keep_sorted = greedy_scan(suppress, pv)[:n]
@@ -168,8 +176,10 @@ def _nms_single_group(corners, scores, valid, iou_threshold, impl):
 
         pad = (-k) % TILE
         pc = jnp.pad(_as_ccw_rows(corners), ((0, pad), (0, 0)))
+        # invalid slots -> sentinel class: their tiles skip in the kernel
         pk = jnp.pad(
-            jnp.zeros((k,), jnp.int32), ((0, pad),), constant_values=-1
+            jnp.where(valid, 0, -1).astype(jnp.int32),
+            ((0, pad),), constant_values=-1,
         )
         pv = jnp.pad(valid, ((0, pad),))
         suppress = suppression_matrix(pc, pk, iou_threshold)

@@ -180,12 +180,8 @@ def suppression_matrix(
     )(corners, cls_col, corners_t, cls_row)
 
 
-def greedy_scan(suppress: jnp.ndarray, keep_init: jnp.ndarray) -> jnp.ndarray:
-    """Greedy keep over the score-ordered suppression matrix S[i, j].
-
-    Computed as a Jacobi fixed-point iteration instead of the row-by-row
-    sequential walk (the CUDA wrapper's bitmask loop, which on TPU costs N
-    serial fori_loop steps ~ milliseconds for N=2048):
+def _jacobi_fixed_point(s8: jnp.ndarray, keep_init: jnp.ndarray) -> jnp.ndarray:
+    """Exact greedy keep via Jacobi iteration on one (sub)matrix.
 
         k_{t+1}[j] = keep_init[j]  AND  NOT any_i (k_t[i] AND S[i, j])
 
@@ -193,20 +189,13 @@ def greedy_scan(suppress: jnp.ndarray, keep_init: jnp.ndarray) -> jnp.ndarray:
     is a DAG: after t iterations every box whose longest suppression chain
     is <= t holds its final value and never changes again, and the greedy
     solution is the UNIQUE fixed point (the triangular system determines
-    k[0], then k[1], ... uniquely).  The loop therefore exits with the exact
-    greedy keep-set as soon as an iteration is a no-op — after
-    (longest-chain + 1) iterations, typically < 10 for real detections —
-    and each iteration is one [N] x [N, N] mat-vec that XLA runs on the
-    MXU.  Equality with the sequential walk (kept in the XLA fallback,
-    ops/nms.py) is asserted by the cross-implementation tests and
-    tools/tpu_checks.py on hardware.
+    k[0], then k[1], ... uniquely).  The loop exits with the exact greedy
+    keep-set as soon as an iteration is a no-op — after (longest-chain + 1)
+    iterations.  int8 x int8 -> int32 mat-vec: the matrix read dominates
+    each iteration (N^2 bytes), and the MXU takes int8 natively (exact:
+    entries are 0/1, accumulation in int32).
     """
-    n = suppress.shape[0]
-    # int8 x int8 -> int32 mat-vec: the matrix read dominates each Jacobi
-    # iteration (N^2 bytes/iter), and the MXU takes int8 natively — 4x less
-    # HBM traffic than casting to f32 (exact: entries are 0/1, accumulation
-    # in int32)
-    s8 = (suppress != 0).astype(jnp.int8)
+    n = s8.shape[0]
     k0 = keep_init
 
     def step(k):
@@ -227,3 +216,64 @@ def greedy_scan(suppress: jnp.ndarray, keep_init: jnp.ndarray) -> jnp.ndarray:
 
     k, _, _ = jax.lax.while_loop(cond, body, (step(k0), k0, jnp.asarray(1)))
     return k
+
+
+def greedy_scan(
+    suppress: jnp.ndarray, keep_init: jnp.ndarray, block: int = 512
+) -> jnp.ndarray:
+    """Greedy keep over the score-ordered suppression matrix S[i, j].
+
+    Blocked Gauss–Seidel over score-ordered blocks of `block` boxes: for
+    each block (in order), first mask out boxes suppressed by KEPT boxes of
+    earlier blocks (one rectangular mat-vec), then resolve the block's
+    internal dependencies with the Jacobi fixed point (_jacobi_fixed_point)
+    on its [block, block] diagonal submatrix.  Block-sequential greedy on a
+    triangular system IS the greedy solution, so the keep-set stays exact
+    (asserted vs the sequential XLA walk and the float64 C++ greedy by the
+    cross-implementation tests and tools/tpu_checks.py on hardware).
+
+    Why blocked: plain Jacobi over the full matrix needs (longest
+    suppression chain + 1) iterations x N^2 bytes of matrix traffic.  Real
+    trained detections have chains < 10, but adversarial / untrained-model
+    candidate sets produce chains in the hundreds, turning NMS into the
+    decode bottleneck (measured ~18 ms/batch extra at N=4096).  Blocking
+    caps the per-iteration traffic at block^2 (1/64th at N=4096) while the
+    rectangular already-decided propagation totals <= N^2/2 bytes ONCE —
+    so pathological inputs cost ~chain * block^2 instead of ~chain * N^2,
+    and well-behaved inputs pay the same as before.
+    """
+    n = suppress.shape[0]
+    s8 = (suppress != 0).astype(jnp.int8)
+    if n <= block:
+        return _jacobi_fixed_point(s8, keep_init)
+    # pad to a block multiple so every fori_loop iteration slices the same
+    # static shapes (one compiled body, not an unrolled chain — unrolling
+    # 8 while_loop-bearing blocks made XLA compile times explode)
+    pad = (-n) % block
+    if pad:
+        s8 = jnp.pad(s8, ((0, pad), (0, pad)))
+        keep_init = jnp.pad(keep_init, ((0, pad),))
+    np_ = n + pad
+    nb = np_ // block
+    col = jnp.arange(np_)
+
+    def body(b, keep):
+        start = b * block
+        # suppression from KEPT boxes of earlier (higher-score) blocks:
+        # full-height mat-vec with not-yet-processed rows masked out
+        ksofar = keep & (col < start)
+        scol = jax.lax.dynamic_slice(s8, (0, start), (np_, block))
+        ext = (
+            jnp.matmul(
+                ksofar.astype(jnp.int8), scol,
+                preferred_element_type=jnp.int32,
+            )
+            > 0
+        )
+        kb = jax.lax.dynamic_slice(keep_init, (start,), (block,)) & ~ext
+        sbb = jax.lax.dynamic_slice(s8, (start, start), (block, block))
+        kb = _jacobi_fixed_point(sbb, kb)
+        return jax.lax.dynamic_update_slice(keep, kb, (start,))
+
+    keep = jax.lax.fori_loop(0, nb, body, keep_init)
+    return keep[:n]

@@ -60,3 +60,35 @@ def test_pallas_multitile_diagonal_skip():
     c = np.asarray(corners, np.float64)
     for i, j in ij[:20]:
         assert iou_poly(c[i], c[j]) > 0.3 * 0.95
+
+
+def test_greedy_scan_blocked_equals_sequential_walk():
+    """The blocked Gauss-Seidel greedy_scan (block-sequential + intra-block
+    Jacobi) must equal the sequential greedy walk exactly — including deep
+    suppression chains that span block boundaries and a partial last
+    block."""
+    rng = np.random.default_rng(0)
+    n = 1280  # 2.5 blocks at block=512; also test tiny blocks below
+    for block, density in [(512, 0.02), (512, 0.3), (128, 0.02), (96, 0.5)]:
+        sup = (rng.uniform(size=(n, n)) < density)
+        # long deterministic chain crossing every block boundary:
+        # i suppresses i+1 for all i
+        chain = np.arange(n - 1)
+        sup[chain, chain + 1] = True
+        sup = np.triu(sup, k=1)  # strictly upper triangular (score order)
+        valid = rng.uniform(size=n) > 0.1
+
+        # sequential greedy walk (ground truth)
+        keep_ref = np.zeros(n, bool)
+        alive = valid.copy()
+        for i in range(n):
+            if alive[i]:
+                keep_ref[i] = True
+                alive &= ~sup[i]
+        got = np.asarray(
+            greedy_scan(
+                jnp.asarray(sup.astype(np.int8)), jnp.asarray(valid),
+                block=block,
+            )
+        )
+        np.testing.assert_array_equal(got, keep_ref, err_msg=f"{block}/{density}")
