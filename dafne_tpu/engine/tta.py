@@ -133,7 +133,10 @@ def tta_inference_single(
         canvases, metas = [], []
         for aug, _ in items:
             warped = aug.apply_image(img)
-            canvas = np.zeros((pad_h, pad_w, 3), np.float32)
+            # uint8 canvases: 4x less host->device transfer than f32 (the
+            # model normalizes on-chip; the train loader ships uint8 too)
+            canvas = np.zeros((pad_h, pad_w, 3), warped.dtype
+                              if warped.dtype == np.uint8 else np.float32)
             rh, rw = warped.shape[:2]
             canvas[: min(rh, pad_h), : min(rw, pad_w)] = warped[:pad_h, :pad_w]
             canvases.append(canvas)
