@@ -112,7 +112,7 @@ def rotated_nms(
     s_valid = valid[order]
     s_classes = apply_class_merge(classes[order], class_merge)
 
-    if impl == "pallas":
+    if impl.startswith("pallas"):
         from dafne_tpu.ops.pallas.quad_nms import (
             TILE, greedy_scan, suppression_matrix,
         )
@@ -130,7 +130,11 @@ def rotated_nms(
             jnp.where(s_valid, s_classes, -1), ((0, pad),), constant_values=-1
         )
         pv = jnp.pad(s_valid, ((0, pad),))
-        suppress = suppression_matrix(pc, pk, iou_threshold)
+        # the class-major order established above licenses the strip kernel
+        # (tight per-strip column spans); "pallas-2d" forces the tiled one
+        suppress = suppression_matrix(
+            pc, pk, iou_threshold, class_major=(impl != "pallas-2d")
+        )
         keep_sorted = greedy_scan(suppress, pv)[:n]
     else:
         iou = quad_iou_matrix(s_corners, s_corners)  # [N, N]
@@ -169,7 +173,7 @@ def _nms_single_group(corners, scores, valid, iou_threshold, impl):
     Returns keep [K] bool in the given (sorted) order.
     """
     k = corners.shape[0]
-    if impl == "pallas":
+    if impl.startswith("pallas"):
         from dafne_tpu.ops.pallas.quad_nms import (
             TILE, greedy_scan, suppression_matrix,
         )
@@ -182,7 +186,10 @@ def _nms_single_group(corners, scores, valid, iou_threshold, impl):
             ((0, pad),), constant_values=-1,
         )
         pv = jnp.pad(valid, ((0, pad),))
-        suppress = suppression_matrix(pc, pk, iou_threshold)
+        # single class + invalid-last IS class-major -> strip kernel valid
+        suppress = suppression_matrix(
+            pc, pk, iou_threshold, class_major=(impl != "pallas-2d")
+        )
         return greedy_scan(suppress, pv)[:k]
     iou = quad_iou_matrix(corners, corners)
     later = jnp.arange(k)[None, :] > jnp.arange(k)[:, None]

@@ -84,6 +84,47 @@ def _shoelace4(x, y):
     return 0.5 * jnp.abs(s)
 
 
+def _suppress_block(rows, cols_t, rcls, ccls, row0, col0, iou_threshold, eps):
+    """Suppression block from raw operands (shared by both kernel layouts).
+
+    rows [R, 8] row corners, cols_t [8, C] pre-transposed column corners,
+    rcls [R, 1] / ccls [1, C] class ids, row0/col0 the global index of the
+    block's first row/column (for the strict j > i triangle test).
+    Returns int8 [R, C].
+    """
+    px = [rows[:, 2 * k : 2 * k + 1] for k in range(4)]  # [R, 1]
+    py = [rows[:, 2 * k + 1 : 2 * k + 2] for k in range(4)]
+    qx = [cols_t[2 * k : 2 * k + 1, :] for k in range(4)]  # [1, C]
+    qy = [cols_t[2 * k + 1 : 2 * k + 2, :] for k in range(4)]
+
+    inter = jnp.zeros((rows.shape[0], cols_t.shape[1]), jnp.float32)
+    for k in range(4):
+        inter += _edge_integral_block(
+            px[k], py[k], px[(k + 1) % 4], py[(k + 1) % 4], qx, qy, eps,
+            True,
+        )
+        inter += _edge_integral_block(
+            qx[k], qy[k], qx[(k + 1) % 4], qy[(k + 1) % 4], px, py, eps,
+            False,
+        )
+    inter = jnp.maximum(inter, 0.0)
+
+    pa = _shoelace4(px, py)  # [R, 1]
+    qa = _shoelace4(qx, qy)  # [1, C]
+    # inter <= min(pa, qa) in real arithmetic; enforce to keep union > 0
+    inter = jnp.minimum(inter, jnp.minimum(pa, qa))
+    union = pa + qa - inter
+    iou = jnp.where(
+        union == 0.0, (inter + 1.0) / (union + 1.0), inter / union
+    )
+
+    same_class = rcls == ccls  # [R, C] broadcast
+    ri = jax.lax.broadcasted_iota(jnp.int32, iou.shape, 0) + row0
+    cj = jax.lax.broadcasted_iota(jnp.int32, iou.shape, 1) + col0
+    suppress = (iou > iou_threshold) & same_class & (cj > ri)
+    return suppress.astype(jnp.int8)
+
+
 def _suppress_kernel(rows_c_ref, rows_k_ref, cols_ct_ref, cols_kt_ref,
                      out_ref, *, iou_threshold, eps):
     """Grid (i_block, j_block) -> S block [TILE, TILE] (int8).
@@ -107,40 +148,60 @@ def _suppress_kernel(rows_c_ref, rows_k_ref, cols_ct_ref, cols_kt_ref,
 
     @pl.when(interact)
     def _():
-        rows = rows_c_ref[:, :]  # [TILE, 8]
-        cols_t = cols_ct_ref[:, :]  # [8, TILE]
-
-        px = [rows[:, 2 * k : 2 * k + 1] for k in range(4)]  # [TILE, 1]
-        py = [rows[:, 2 * k + 1 : 2 * k + 2] for k in range(4)]
-        qx = [cols_t[2 * k : 2 * k + 1, :] for k in range(4)]  # [1, TILE]
-        qy = [cols_t[2 * k + 1 : 2 * k + 2, :] for k in range(4)]
-
-        inter = jnp.zeros((rows.shape[0], cols_t.shape[1]), jnp.float32)
-        for k in range(4):
-            inter += _edge_integral_block(
-                px[k], py[k], px[(k + 1) % 4], py[(k + 1) % 4], qx, qy, eps,
-                True,
-            )
-            inter += _edge_integral_block(
-                qx[k], qy[k], qx[(k + 1) % 4], qy[(k + 1) % 4], px, py, eps,
-                False,
-            )
-        inter = jnp.maximum(inter, 0.0)
-
-        pa = _shoelace4(px, py)  # [TILE, 1]
-        qa = _shoelace4(qx, qy)  # [1, TILE]
-        # inter <= min(pa, qa) in real arithmetic; enforce to keep union > 0
-        inter = jnp.minimum(inter, jnp.minimum(pa, qa))
-        union = pa + qa - inter
-        iou = jnp.where(
-            union == 0.0, (inter + 1.0) / (union + 1.0), inter / union
+        out_ref[:, :] = _suppress_block(
+            rows_c_ref[:, :], cols_ct_ref[:, :], rcls, ccls,
+            i * TILE, j * TILE, iou_threshold, eps,
         )
 
-        same_class = rcls == ccls  # [TILE, TILE] broadcast
-        ri = jax.lax.broadcasted_iota(jnp.int32, iou.shape, 0) + i * TILE
-        cj = jax.lax.broadcasted_iota(jnp.int32, iou.shape, 1) + j * TILE
-        suppress = (iou > iou_threshold) & same_class & (cj > ri)
-        out_ref[:, :] = suppress.astype(jnp.int8)
+
+STRIP = 32  # rows per strip-kernel grid step (the int8 min sublane tile)
+
+
+def _suppress_strip_kernel(rows_c_ref, rows_k_ref, cols_ct_ref, cols_kt_ref,
+                           out_ref, *, iou_threshold, eps, n):
+    """Grid (i_strip,) -> S strip [STRIP, N] (int8); columns span-bounded.
+
+    Requires CLASS-MAJOR candidate order (class-ascending, invalid last
+    with row class -1 / column class -2 sentinels) — the layout both
+    callers in ops/nms.py produce.  Under it, the columns that can
+    interact with this strip's rows form ONE contiguous span: columns
+    whose class lies in [min, max] of the strip's valid row classes,
+    intersected with the strict j > i triangle.  The kernel computes that
+    span from the resident [1, N] class row (two masked reductions) and
+    runs the IoU math only over its 128-wide blocks — so per-strip work
+    tracks the TRUE class span instead of the 2-D kernel's 128x128 tile
+    quantization (a 128-row tile mixes ~2-3 DOTA classes and drags in
+    every column either one touches; a 32-row strip usually spans one).
+    """
+    i = pl.program_id(0)
+    r0 = i * STRIP
+    rcls = rows_k_ref[:, :]  # [STRIP, 1]
+    ccls = cols_kt_ref[:, :]  # [1, N]
+    big = jnp.asarray(2**30, jnp.int32)
+    rmin = jnp.min(jnp.where(rcls >= 0, rcls, big))
+    rmax = jnp.max(jnp.where(rcls >= 0, rcls, -1))
+    colidx = jax.lax.broadcasted_iota(jnp.int32, ccls.shape, 1)  # [1, N]
+    inter = (ccls >= rmin) & (ccls <= rmax) & (colidx > r0)
+    lo = jnp.min(jnp.where(inter, colidx, n))
+    hi = jnp.max(jnp.where(inter, colidx, -1)) + 1
+    lo_b = lo // TILE
+    hi_b = (hi + TILE - 1) // TILE  # exclusive; 0 when the span is empty
+
+    out_ref[:, :] = jnp.zeros_like(out_ref)
+    rows = rows_c_ref[:, :]  # [STRIP, 8]
+
+    def body(jb, _):
+        c0 = jb * TILE
+        out_ref[:, pl.ds(c0, TILE)] = _suppress_block(
+            rows,
+            cols_ct_ref[:, pl.ds(c0, TILE)],
+            rcls,
+            cols_kt_ref[:, pl.ds(c0, TILE)],
+            r0, c0, iou_threshold, eps,
+        )
+        return 0
+
+    jax.lax.fori_loop(lo_b, hi_b, body, 0)
 
 
 def suppression_matrix(
@@ -149,8 +210,16 @@ def suppression_matrix(
     iou_threshold: float,
     eps: float = 1e-6,
     interpret: bool = False,
+    class_major: bool = False,
 ) -> jnp.ndarray:
-    """S [N, N] int8; requires N % TILE == 0 (pad outside)."""
+    """S [N, N] int8; requires N % TILE == 0 (pad outside).
+
+    `class_major=True` selects the strip kernel (tight per-strip column
+    spans); it is only valid when the candidates are ordered
+    class-ascending with invalid slots last — the order the callers in
+    ops/nms.py construct.  The default 2-D tiled kernel accepts any
+    score-descending order.
+    """
     n = corners.shape[0]
     assert n % TILE == 0, n
     n_blocks = n // TILE
@@ -161,6 +230,24 @@ def suppression_matrix(
     cls_col = jnp.where(classes < 0, -1, classes).reshape(n, 1)
     corners_t = corners.T  # [8, N]
     cls_row = jnp.where(classes < 0, -2, classes).reshape(1, n)
+
+    if class_major:
+        kernel = functools.partial(
+            _suppress_strip_kernel, iou_threshold=iou_threshold, eps=eps, n=n
+        )
+        return pl.pallas_call(
+            kernel,
+            grid=(n // STRIP,),
+            in_specs=[
+                pl.BlockSpec((STRIP, 8), lambda i: (i, 0)),  # row corners
+                pl.BlockSpec((STRIP, 1), lambda i: (i, 0)),  # row classes
+                pl.BlockSpec((8, n), lambda i: (0, 0)),  # all col corners (T)
+                pl.BlockSpec((1, n), lambda i: (0, 0)),  # all col classes (T)
+            ],
+            out_specs=pl.BlockSpec((STRIP, n), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((n, n), jnp.int8),
+            interpret=interpret,
+        )(corners, cls_col, corners_t, cls_row)
 
     kernel = functools.partial(
         _suppress_kernel, iou_threshold=iou_threshold, eps=eps

@@ -62,6 +62,78 @@ def test_pallas_multitile_diagonal_skip():
         assert iou_poly(c[i], c[j]) > 0.3 * 0.95
 
 
+def test_strip_kernel_matches_2d_kernel_class_major():
+    """The strip kernel (class-major column spans) must produce the exact
+    suppression matrix of the 2-D tiled kernel on class-major inputs —
+    across multiple strips/tiles, several classes, and an invalid tail."""
+    n = 3 * TILE
+    rng = np.random.RandomState(11)
+    corners = _as_ccw_rows(jnp.asarray(_random_boxes(n, seed=11)))
+    # class-major layout: ascending classes, invalid (-1) last
+    n_valid = n - 70  # invalid tail spans multiple strips incl. a partial one
+    classes = np.full(n, -1, np.int32)
+    classes[:n_valid] = np.sort(rng.randint(0, 5, n_valid))
+    classes = jnp.asarray(classes)
+
+    s2d = np.asarray(
+        suppression_matrix(corners, classes, 0.25, interpret=True)
+    )
+    sstrip = np.asarray(
+        suppression_matrix(
+            corners, classes, 0.25, interpret=True, class_major=True
+        )
+    )
+    np.testing.assert_array_equal(sstrip, s2d)
+
+
+def test_strip_kernel_single_class_and_all_invalid():
+    n = 2 * TILE
+    corners = _as_ccw_rows(jnp.asarray(_random_boxes(n, seed=13)))
+    one = jnp.zeros(n, jnp.int32)
+    np.testing.assert_array_equal(
+        np.asarray(suppression_matrix(corners, one, 0.3, interpret=True,
+                                      class_major=True)),
+        np.asarray(suppression_matrix(corners, one, 0.3, interpret=True)),
+    )
+    none = jnp.full((n,), -1, jnp.int32)
+    assert not np.asarray(
+        suppression_matrix(corners, none, 0.3, interpret=True,
+                           class_major=True)
+    ).any()
+
+
+def test_rotated_nms_pallas_strip_equals_xla(monkeypatch):
+    """End-to-end rotated_nms keep-set: strip-kernel pallas == xla on CPU
+    interpret mode (patch the TPU check so the pallas path runs here)."""
+    import dafne_tpu.ops.pallas.quad_nms as qn
+    import dafne_tpu.ops.nms as nms_mod
+
+    orig = qn.suppression_matrix
+    monkeypatch.setattr(
+        qn, "suppression_matrix",
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}),
+    )
+    n = 2 * TILE
+    corners = jnp.asarray(_random_boxes(n, seed=17))
+    rng = np.random.RandomState(18)
+    scores = jnp.asarray(rng.rand(n).astype(np.float32))
+    classes = jnp.asarray(rng.randint(0, 6, n).astype(np.int32))
+    valid = jnp.asarray(rng.rand(n) > 0.4)
+    keep_xla = np.asarray(
+        nms_mod.rotated_nms(corners, scores, classes, valid, 0.2, (), "xla")
+    )
+    keep_strip = np.asarray(
+        nms_mod.rotated_nms(corners, scores, classes, valid, 0.2, (), "pallas")
+    )
+    keep_2d = np.asarray(
+        nms_mod.rotated_nms(
+            corners, scores, classes, valid, 0.2, (), "pallas-2d"
+        )
+    )
+    np.testing.assert_array_equal(keep_strip, keep_xla)
+    np.testing.assert_array_equal(keep_2d, keep_xla)
+
+
 def test_greedy_scan_blocked_equals_sequential_walk():
     """The blocked Gauss-Seidel greedy_scan (block-sequential + intra-block
     Jacobi) must equal the sequential greedy walk exactly — including deep

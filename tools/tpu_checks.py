@@ -80,6 +80,26 @@ def check_suppression(rng, results):
     }
     assert frac < 2e-5, results["suppression"]
 
+    # strip kernel (class-major column spans): bit-equality with the 2-D
+    # kernel on a class-ascending layout with an invalid tail
+    order = np.argsort(classes, kind="stable")
+    cs_cm = np.concatenate(
+        [classes[order][: n - 64], np.full(64, -1, np.int32)]
+    )
+    qs_cm = jnp.asarray(quads[order])
+    cs_cm = jnp.asarray(cs_cm)
+    sup_strip = np.asarray(
+        jax.jit(
+            lambda q, c: suppression_matrix(q, c, th, class_major=True)
+        )(qs_cm, cs_cm)
+    )
+    sup_2d = np.asarray(
+        jax.jit(lambda q, c: suppression_matrix(q, c, th))(qs_cm, cs_cm)
+    )
+    mism_strip = int((sup_strip != sup_2d).sum())
+    results["suppression"]["strip_vs_2d_mismatches"] = mism_strip
+    assert mism_strip == 0, results["suppression"]
+
 
 def check_assign(rng, results):
     import jax

@@ -359,16 +359,27 @@ def main():
             print("nms_only", results["nms_only_ms"], flush=True)
 
         if "suppression_only" in phases:
-            def supp_only(carry, c_, k_):
-                f = jax.vmap(lambda cc, kk: suppression_matrix(cc, kk, 0.1))
-                s = f(c_ + carry * 0.0, k_)
-                return jnp.sum(s.astype(jnp.float32))
+            # class_major=True is the production path (rotated_nms orders
+            # candidates class-major and selects the strip kernel); the
+            # _2d variant times the layout-agnostic tiled kernel
+            for tag, cm in [("", True), ("_2d", False)]:
+                def supp_only(carry, c_, k_, cm=cm):
+                    f = jax.vmap(
+                        lambda cc, kk: suppression_matrix(
+                            cc, kk, 0.1, class_major=cm
+                        )
+                    )
+                    s = f(c_ + carry * 0.0, k_)
+                    return jnp.sum(s.astype(jnp.float32))
 
-            results["suppression_only_ms"] = round(
-                timed_chain(jax.jit(supp_only), sorted_corners, sorted_classes),
-                1,
-            )
-            print("suppression_only", results["suppression_only_ms"], flush=True)
+                key = f"suppression_only{tag}_ms"
+                results[key] = round(
+                    timed_chain(
+                        jax.jit(supp_only), sorted_corners, sorted_classes
+                    ),
+                    1,
+                )
+                print(key, results[key], flush=True)
 
         if "greedy_only" in phases:
             f = jax.jit(
