@@ -154,7 +154,11 @@ def _suppress_kernel(rows_c_ref, rows_k_ref, cols_ct_ref, cols_kt_ref,
         )
 
 
-STRIP = 32  # rows per strip-kernel grid step (the int8 min sublane tile)
+STRIP = 64  # rows per strip-kernel grid step. A/B on-chip at n=4096,
+# 15 classes (8/16/32/64/128): 64 is fastest on BOTH the dense all-valid
+# mix and the 25%-valid production-like mix — strips smaller than 64 pay
+# more grid overhead than their tighter class spans save, and at 128 the
+# span widens to ~2-3 classes (the 2-D kernel's quantization problem).
 
 
 def _suppress_strip_kernel(rows_c_ref, rows_k_ref, cols_ct_ref, cols_kt_ref,
@@ -171,7 +175,7 @@ def _suppress_strip_kernel(rows_c_ref, rows_k_ref, cols_ct_ref, cols_kt_ref,
     runs the IoU math only over its 128-wide blocks — so per-strip work
     tracks the TRUE class span instead of the 2-D kernel's 128x128 tile
     quantization (a 128-row tile mixes ~2-3 DOTA classes and drags in
-    every column either one touches; a 32-row strip usually spans one).
+    every column either one touches; a STRIP-row strip usually spans one).
     """
     i = pl.program_id(0)
     r0 = i * STRIP

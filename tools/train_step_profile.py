@@ -481,6 +481,8 @@ def main():
             "s_per_image": round((time.perf_counter() - t0) / reps, 2),
             "detections": int(det["valid"].sum()),
             "oom": False,
+            "note": "random weights (0 detections expected); trained-weight "
+            "TTA with real detections + TTA-mAP>plain: TTA_CANARY.json",
         }
         print("tta_r101", results["tta_r101"], flush=True)
 
