@@ -97,13 +97,17 @@ def main():
                 "gt_valid")}
             for b in itertools.islice(it, 8)
         ]
+        # state donation chains the steps (each consumes the previous
+        # state); the final barrier must be a FETCH — on the axon relay
+        # runtime block_until_ready can return before execution (see
+        # bench.py measurement notes)
         for i in range(args.warmup):
             state, m = step(state, batches[i % len(batches)])
-        jax.block_until_ready(m)
+        float(jax.tree_util.tree_leaves(m)[0])
         t0 = time.perf_counter()
         for i in range(args.iters):
             state, m = step(state, batches[i % len(batches)])
-        jax.block_until_ready(m)
+        float(jax.tree_util.tree_leaves(m)[0])
         dt = time.perf_counter() - t0
         result = {
             "task": "train",
@@ -128,13 +132,24 @@ def main():
             jnp.asarray(rng.rand(bs, *pad_hw, 3).astype(np.float32) * 255)
             for _ in range(4)
         ]
+        # Chain the steps through an on-device scalar and close with ONE
+        # fetch: on the axon relay runtime un-chained dispatches overlap
+        # and block_until_ready can return before execution, reporting
+        # bogus near-zero latencies (see bench.py measurement notes).
+        def chained(carry, params, image, batch_stats):
+            out = eval_step(params, image + carry * 0.0, None, batch_stats)
+            return jnp.sum(out["scores"]).astype(jnp.float32)
+
+        chained = jax.jit(chained)
+        carry = jnp.zeros((), jnp.float32)
         for i in range(args.warmup):
-            out = eval_step(params, imgs[i % 4], None, batch_stats)
-        jax.block_until_ready(out)
+            carry = chained(carry, params, imgs[i % 4], batch_stats)
+        float(carry)
         t0 = time.perf_counter()
+        carry = jnp.zeros((), jnp.float32)
         for i in range(args.iters):
-            out = eval_step(params, imgs[i % 4], None, batch_stats)
-        jax.block_until_ready(out)
+            carry = chained(carry, params, imgs[i % 4], batch_stats)
+        float(carry)
         dt = time.perf_counter() - t0
         result = {
             "task": "eval",
