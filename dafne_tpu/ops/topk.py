@@ -52,7 +52,9 @@ def exact_topk_set(scores: jnp.ndarray, k: int):
     # smallest t with count(bits > t) < k  ==  k-th largest bit pattern
     def body(_, lohi):
         lo, hi = lohi
-        mid = (lo + hi) >> 1
+        # overflow-safe midpoint: lo + hi wraps int32 once hi reaches the
+        # bit patterns of scores >= 2.0 (0x40000000+)
+        mid = lo + ((hi - lo) >> 1)
         cnt = jnp.sum(bits > mid[:, None], axis=1)
         go_low = cnt < k
         return (jnp.where(go_low, lo, mid + 1), jnp.where(go_low, mid, hi))

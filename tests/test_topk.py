@@ -76,6 +76,19 @@ def test_decode_scale_shapes():
     _sets_match(s2, 4096)
 
 
+def test_scores_above_two_no_midpoint_overflow():
+    # regression: with >= k entries >= 2.0 (bit patterns > 2^30) the naive
+    # (lo + hi) >> 1 midpoint wraps int32 and corrupts the bisection —
+    # decode only feeds [0, 1] scores, but the module contract is "any
+    # non-negative f32"
+    rng = np.random.default_rng(5)
+    s = rng.uniform(0, 10, (4, 400)).astype(np.float32)
+    _sets_match(s, 10)
+    _sets_match(s, 128)
+    s2 = rng.uniform(1e30, 1e38, (2, 300)).astype(np.float32)
+    _sets_match(s2, 17)
+
+
 def test_jit_and_grad_free_path():
     rng = np.random.default_rng(4)
     s = jnp.asarray(rng.uniform(0, 1, (3, 512)).astype(np.float32))

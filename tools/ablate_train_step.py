@@ -40,39 +40,12 @@ from dafne_tpu.utils.platform import setup_compilation_cache
 
 setup_compilation_cache()
 
-BATCH, HW, WARMUP, ITERS = 8, 1024, 3, 15
+# one synthetic-batch generator for all perf tools — a fix to the
+# realistic-candidate generation must not fork between the profiler and
+# the ablations (BATCH/HW/WARMUP/ITERS constants shared the same way)
+from train_step_profile import BATCH, HW, synthetic_batch  # noqa: E402
 
-
-def synthetic_batch(rng, n_gt=24):
-    quads = []
-    for _ in range(BATCH * n_gt):
-        cx, cy = rng.uniform(100, HW - 100, 2)
-        w, h = rng.uniform(16, 120, 2)
-        th = rng.uniform(0, np.pi)
-        c, s = np.cos(th), np.sin(th)
-        dx = np.array([-w, w, w, -w]) / 2
-        dy = np.array([-h, -h, h, h]) / 2
-        quads.append(
-            np.stack([cx + dx * c - dy * s, cy + dx * s + dy * c], 1).reshape(8)
-        )
-    quads = np.asarray(quads, np.float32).reshape(BATCH, n_gt, 8)
-    xs, ys = quads[..., 0::2], quads[..., 1::2]
-    hbox = np.stack([xs.min(-1), ys.min(-1), xs.max(-1), ys.max(-1)], -1)
-    area = np.abs(
-        0.5 * ((xs * np.roll(ys, -1, -1)).sum(-1) - (ys * np.roll(xs, -1, -1)).sum(-1))
-    )
-    return {
-        "image": jnp.asarray(
-            np.random.RandomState(0).randint(0, 255, (BATCH, HW, HW, 3), np.uint8)
-        ),
-        "gt_corners": jnp.asarray(quads),
-        "gt_hbox": jnp.asarray(hbox),
-        "gt_classes": jnp.asarray(
-            np.random.RandomState(1).randint(0, 15, (BATCH, n_gt)), jnp.int32
-        ),
-        "gt_area": jnp.asarray(area, jnp.float32),
-        "gt_valid": jnp.ones((BATCH, n_gt), bool),
-    }
+WARMUP, ITERS = 3, 15
 
 
 def cfg_variant(**kv):
@@ -102,6 +75,9 @@ def full_step_ms(cfg, batch):
         make_train_step(model, cfg, (HW, HW), tx, sched), donate_argnums=(0,)
     )
 
+    # same device-chaining + final-fetch protocol as
+    # train_step_profile.timed_chain, except the donated TrainState must be
+    # threaded through as a second carry, so the loop is inlined here
     def chained(carry, state, b):
         b = dict(b)
         b["image"] = b["image"] + (carry * 0.0).astype(b["image"].dtype)

@@ -75,7 +75,7 @@ def log(msg):
     print(f"[parity-gate] {msg}", flush=True)
 
 
-def sha256_file(path, limit_mb=4096):
+def sha256_file(path):
     h = hashlib.sha256()
     with open(path, "rb") as f:
         while chunk := f.read(1 << 20):
@@ -224,8 +224,10 @@ def main(argv=None):
             )
             os.makedirs(out_dir, exist_ok=True)
             m = run_eval(gate, weights, out_dir)
-            lo = gate["map_published"] - gate["map_window"]
-            ok = m >= lo
+            # two-sided: an anomalously HIGH mAP is the classic signature
+            # of an eval/merge bug (duplicated detections, leaked GT) and
+            # must not certify parity either
+            ok = abs(m - gate["map_published"]) <= gate["map_window"]
             summary.append({"gate": gate["name"], "mAP": m,
                             "published": gate["map_published"], "pass": ok})
             log(f"{gate['name']}: mAP {m:.2f} vs published "
