@@ -252,5 +252,14 @@ def build_defaults() -> CfgNode:
     t.REMAT_BACKBONE = False  # jax.checkpoint over backbone stages
     t.STEM_SPACE_TO_DEPTH = True  # lower the 7x7/2 stem conv as
     # space-to-depth + 4x4/1 (identical function, ~4x better MXU use)
+    t.EVAL_INT8 = False  # eval-time w8a8 convs (layers/quant.py): dynamic
+    # per-image activation scales + per-out-channel weight scales, s32
+    # accumulation on the MXU (~1.6x conv throughput on v5e). Predictors,
+    # stem, offset generators and depthwise convs stay full precision.
+    # Accuracy gate: tools/int8_canary.py / INT8_CANARY.json.
+    t.EVAL_INT8_MIN_CHANNELS = 128  # quantize only convs with >= this many
+    # in AND out channels: the narrow early-backbone convs are HBM-bound and
+    # get SLOWER in int8 (requant traffic), the wide ones get the MXU win
+    # (A/B in PARITY.md)
 
     return _C

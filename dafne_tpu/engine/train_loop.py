@@ -129,6 +129,9 @@ def do_test(
             use_mesh,
             DecodeSpec.from_config(cfg, train=False),
             AssignmentSpec.from_config(cfg),
+            # quantization mode changes the emitted program (layers/quant.py)
+            bool(cfg.TPU.get("EVAL_INT8", False)),
+            int(cfg.TPU.get("EVAL_INT8_MIN_CHANNELS", 128)),
         )
         if cache_key not in _EVAL_STEP_CACHE:
             if len(_EVAL_STEP_CACHE) > 32:

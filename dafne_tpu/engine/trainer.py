@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
+from dafne_tpu.layers.quant import quantized_eval_scope
 from dafne_tpu.models.head import compute_locations
 from dafne_tpu.ops.losses import LossSpec, dafne_losses
 from dafne_tpu.ops.postprocess import DecodeSpec, decode_detections
@@ -147,13 +148,18 @@ def make_eval_step(model, cfg, image_hw: Tuple[int, int]):
     assign_spec = AssignmentSpec.from_config(cfg)
     decode_spec = DecodeSpec.from_config(cfg, train=False)
     locs_list, *_ = make_location_tables(image_hw, assign_spec)
+    eval_int8 = bool(cfg.TPU.get("EVAL_INT8", False))
+    int8_min_ch = int(cfg.TPU.get("EVAL_INT8_MIN_CHANNELS", 128))
 
     def eval_step(params, images, scale_xy: Optional[jnp.ndarray] = None,
                   batch_stats=None):
         variables = {"params": params}
         if batch_stats is not None:
             variables["batch_stats"] = batch_stats
-        out = model.apply(variables, images)
+        # interception happens at trace time: the jitted step is emitted
+        # with w8a8 convs (layers/quant.py) when TPU.EVAL_INT8 is on
+        with quantized_eval_scope(enabled=eval_int8, min_channels=int8_min_ch):
+            out = model.apply(variables, images)
         return decode_detections(out, locs_list, decode_spec, scale_xy)
 
     return eval_step

@@ -1,3 +1,10 @@
+from dafne_tpu.layers.quant import (
+    int8_conv,
+    int8_conv_interceptor,
+    quantize_kernel_per_channel,
+    quantize_tensor_dynamic,
+    quantized_eval_scope,
+)
 from dafne_tpu.layers.deform_conv import (
     DeformConv2d,
     bilinear_sample,
@@ -14,4 +21,9 @@ __all__ = [
     "hbox_to_offsets",
     "center_to_offsets",
     "corners_to_offsets",
+    "int8_conv",
+    "int8_conv_interceptor",
+    "quantize_kernel_per_channel",
+    "quantize_tensor_dynamic",
+    "quantized_eval_scope",
 ]

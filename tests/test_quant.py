@@ -1,0 +1,227 @@
+"""int8 (w8a8) quantized-eval tests — layers/quant.py.
+
+The quantized path is an opt-in TPU serving optimization with no reference
+counterpart (the reference evals in fp16/fp32, plain_train_net.py AMP); the
+contract tested here is OURS: eligible convs swap to s8xs8->s32 with small
+bounded error, everything else stays bit-exact, and the full eval step runs
+end-to-end with TPU.EVAL_INT8.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from flax import linen as nn
+
+from dafne_tpu.layers.quant import (
+    MIN_QUANT_CHANNELS,
+    conv_is_quantizable,
+    int8_conv_interceptor,
+    quantize_kernel_per_channel,
+    quantize_tensor_dynamic,
+    quantized_eval_scope,
+)
+
+
+def _rand(shape, seed=0, scale=1.0):
+    return jnp.asarray(
+        np.random.RandomState(seed).randn(*shape).astype(np.float32) * scale
+    )
+
+
+class TestQuantizePrimitives:
+    def test_tensor_roundtrip_error_bound(self):
+        x = _rand((4, 8, 8, 32), seed=1, scale=3.0)
+        xq, s = quantize_tensor_dynamic(x)
+        assert xq.dtype == jnp.int8 and s.shape == (4, 1, 1, 1)
+        # symmetric rounding: error <= per-image scale/2 elementwise
+        err = jnp.abs(xq.astype(jnp.float32) * s - x)
+        assert bool(jnp.all(err <= s / 2 + 1e-6))
+
+    def test_per_image_scale_isolates_batch_elements(self):
+        # a huge outlier in image 0 must not coarsen image 1's quantization
+        x = _rand((2, 8, 8, 16), seed=9)
+        x = x.at[0].multiply(1000.0)
+        xq, s = quantize_tensor_dynamic(x)
+        solo_q, solo_s = quantize_tensor_dynamic(x[1:])
+        assert bool(jnp.all(xq[1] == solo_q[0]))
+        assert float(s[1, 0, 0, 0]) == float(solo_s[0, 0, 0, 0])
+
+    def test_zero_tensor_finite(self):
+        xq, s = quantize_tensor_dynamic(jnp.zeros((2, 4, 4, 8)))
+        assert float(s.min()) > 0 and int(jnp.abs(xq).max()) == 0
+
+    def test_kernel_per_channel(self):
+        w = _rand((3, 3, 16, 24), seed=2)
+        # make channel 5 much larger: per-channel scales must absorb it
+        w = w.at[..., 5].multiply(100.0)
+        wq, s = quantize_kernel_per_channel(w)
+        assert s.shape == (24,)
+        err = jnp.abs(wq.astype(jnp.float32) * s - w)
+        assert float((err / s[None, None, None, :]).max()) <= 0.5 + 1e-5
+        # a global scale would wipe out the small channels; per-channel must not
+        small = wq[..., 0].astype(jnp.float32) * s[0]
+        rel = jnp.linalg.norm(small - w[..., 0]) / jnp.linalg.norm(w[..., 0])
+        assert float(rel) < 0.01
+
+
+class TestInterceptor:
+    def _apply(self, mod, x, seed=0):
+        v = mod.init(jax.random.PRNGKey(seed), x)
+        ref = mod.apply(v, x)
+        with quantized_eval_scope(enabled=True):
+            q = mod.apply(v, x)
+        return ref, q
+
+    def test_eligible_conv_close(self):
+        x = _rand((2, 16, 16, 64), seed=3)
+        conv = nn.Conv(64, (3, 3), padding=[(1, 1), (1, 1)], use_bias=True)
+        ref, q = self._apply(conv, x)
+        assert q.dtype == ref.dtype and q.shape == ref.shape
+        rel = jnp.linalg.norm(q - ref) / jnp.linalg.norm(ref)
+        assert 0 < float(rel) < 0.025  # quantized (not bit-equal), but close
+
+    def test_strided_dilated_conv_matches_nn_conv_geometry(self):
+        # stride/padding/dilation must reproduce nn.Conv exactly (the
+        # backbone uses stride-2 shortcuts and dilated 3x3s, resnet.py)
+        x = _rand((2, 17, 17, 64), seed=4)
+        conv = nn.Conv(
+            64,
+            (3, 3),
+            strides=(2, 2),
+            padding=[(2, 2), (2, 2)],
+            kernel_dilation=(2, 2),
+            use_bias=False,
+        )
+        ref, q = self._apply(conv, x)
+        assert q.shape == ref.shape
+        rel = jnp.linalg.norm(q - ref) / jnp.linalg.norm(ref)
+        assert float(rel) < 0.03
+
+    @pytest.mark.parametrize(
+        "conv,ch",
+        [
+            # predictor-sized output (<64) -> full precision
+            (nn.Conv(15, (3, 3), padding=[(1, 1), (1, 1)]), 64),
+            # small input (<64, e.g. the 3-channel stem) -> full precision
+            (nn.Conv(64, (7, 7), padding=[(3, 3), (3, 3)]), 3),
+            # grouped/depthwise (MobileNet) -> full precision
+            (
+                nn.Conv(
+                    64,
+                    (3, 3),
+                    padding=[(1, 1), (1, 1)],
+                    feature_group_count=64,
+                ),
+                64,
+            ),
+        ],
+    )
+    def test_ineligible_convs_bit_exact(self, conv, ch):
+        x = _rand((1, 8, 8, ch), seed=5)
+        ref, q = self._apply(conv, x)
+        assert bool(jnp.all(q == ref))
+
+    def test_eligibility_predicate(self):
+        x = jnp.zeros((1, 8, 8, MIN_QUANT_CHANNELS))
+        ok = nn.Conv(MIN_QUANT_CHANNELS, (3, 3), padding="SAME")
+        bad = nn.Conv(MIN_QUANT_CHANNELS, (3, 3), padding="CIRCULAR")
+        # unbound modules: predicate must reject non-Conv and exotic padding
+        assert not conv_is_quantizable(nn.Dense(8), x)
+        assert conv_is_quantizable(ok, x)
+        assert not conv_is_quantizable(bad, x)
+        assert not conv_is_quantizable(ok, jnp.zeros((8, 8, 64)))  # ndim!=4
+
+    def test_scope_disabled_is_noop(self):
+        x = _rand((1, 8, 8, 64), seed=6)
+        conv = nn.Conv(64, (3, 3), padding=[(1, 1), (1, 1)])
+        v = conv.init(jax.random.PRNGKey(0), x)
+        ref = conv.apply(v, x)
+        with quantized_eval_scope(enabled=False):
+            q = conv.apply(v, x)
+        assert bool(jnp.all(q == ref))
+
+
+class TestFullModel:
+    def _cfg(self):
+        from tests.test_model import tiny_cfg
+
+        # widths >= MIN_QUANT_CHANNELS so backbone/FPN/tower convs quantize
+        return tiny_cfg(**{
+            "MODEL.RESNETS.RES2_OUT_CHANNELS": 64,
+            "MODEL.RESNETS.STEM_OUT_CHANNELS": 64,
+            "MODEL.FPN.OUT_CHANNELS": 64,
+            "TPU.EVAL_INT8": True,
+            # the shipped default (128) targets 256-wide flagship convs;
+            # this test model is 64-wide throughout
+            "TPU.EVAL_INT8_MIN_CHANNELS": 64,
+        })
+
+    def test_eval_step_int8(self):
+        from dafne_tpu.engine.trainer import make_eval_step
+        from dafne_tpu.models import build_model
+
+        cfg = self._cfg()
+        model = build_model(cfg)
+        hw = 128
+        params = jax.jit(
+            lambda: model.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, hw, hw, 3))
+            )["params"]
+        )()
+        imgs = _rand((2, hw, hw, 3), seed=7, scale=50.0)
+
+        step_q = jax.jit(make_eval_step(model, cfg, (hw, hw)))
+        det_q = step_q(params, imgs)
+        cfg_f = self._cfg()
+        cfg_f.TPU.EVAL_INT8 = False
+        step_f = jax.jit(make_eval_step(model, cfg_f, (hw, hw)))
+        det_f = step_f(params, imgs)
+
+        for k in det_f:
+            assert det_q[k].shape == det_f[k].shape
+            assert bool(
+                jnp.all(jnp.isfinite(det_q[k].astype(jnp.float32)))
+            ), k
+        # int8 must actually engage: the lowered program carries i8 convs
+        q_ir = step_q.lower(params, imgs).as_text()
+        assert "i8" in q_ir and "i32" in q_ir
+
+    def test_model_forward_interception_count(self):
+        """Eligible convs in the real model are intercepted; predictors are
+        not (all have <64 output channels)."""
+        from dafne_tpu.models import build_model
+
+        cfg = self._cfg()
+        model = build_model(cfg)
+        hw = 128
+        params = jax.jit(
+            lambda: model.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, hw, hw, 3))
+            )["params"]
+        )()
+
+        hits, skips = [], []
+
+        def counting(next_fun, args, kwargs, context):
+            mod = context.module
+            if (
+                type(mod) is nn.Conv
+                and context.method_name == "__call__"
+                and args
+            ):
+                (hits if conv_is_quantizable(mod, args[0]) else skips).append(
+                    "/".join(str(p) for p in (mod.path or ("?",)))
+                )
+            return int8_conv_interceptor(next_fun, args, kwargs, context)
+
+        x = _rand((1, hw, hw, 3), seed=8, scale=50.0)
+        with nn.intercept_methods(counting):
+            out = model.apply({"params": params}, x)
+        assert len(hits) >= 5, hits  # backbone + FPN + towers engaged
+        # every predictor conv stayed full precision
+        pred_names = ("cls_logits", "ctrness", "corners_pred", "center_pred")
+        assert not any(any(p in h for p in pred_names) for h in hits), hits
+        assert any("cls_logits" in s for s in skips), skips
+        for lv in out["logits"]:
+            assert bool(jnp.all(jnp.isfinite(lv.astype(jnp.float32))))

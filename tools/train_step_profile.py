@@ -301,6 +301,58 @@ def main():
         )
         print("eval_full", results["eval_full_ms"], flush=True)
 
+    if "eval_int8" in phases:
+        # same eval step with TPU.EVAL_INT8 (layers/quant.py), A/B'd against
+        # an in-run bf16 baseline at each eligibility threshold
+        from dafne_tpu.engine.trainer import make_eval_step
+
+        ab = {}
+        for min_ch in (0, 128, 256):  # 0 = bf16 baseline
+
+            eval_step_q = jax.jit(
+                make_eval_step(
+                    model,
+                    flagship_cfg(
+                        EVAL_INT8=min_ch > 0, EVAL_INT8_MIN_CHANNELS=min_ch or 128
+                    ),
+                    (HW, HW),
+                )
+            )
+
+            def eval_q(carry, params, image, _s=eval_step_q):
+                out = _s(params, image + carry * 0.0)
+                return (
+                    jnp.sum(out["scores"]) + jnp.sum(out["corners"])
+                ).astype(jnp.float32)
+
+            key = "bf16" if min_ch == 0 else f"min_ch_{min_ch}"
+            ab[key] = round(
+                timed_chain(jax.jit(eval_q), params, batch["image"]), 1
+            )
+            print(f"eval_int8[{key}]", ab[key], flush=True)
+        results["eval_int8_ms"] = ab
+
+    if "model_fwd_int8" in phases:
+        # A/B the eligibility threshold: narrow HBM-bound convs can get
+        # slower in int8, wide MXU-bound ones faster (see layers/quant.py)
+        from dafne_tpu.layers.quant import quantized_eval_scope
+
+        ab = {}
+        for min_ch in (64, 128, 256):
+
+            def fwd_q(carry, params, image, _m=min_ch):
+                with quantized_eval_scope(enabled=True, min_channels=_m):
+                    out = model.apply({"params": params}, image + carry * 0.0)
+                return sum(jnp.sum(o) for o in out["logits"]).astype(
+                    jnp.float32
+                )
+
+            ab[f"min_ch_{min_ch}"] = round(
+                timed_chain(jax.jit(fwd_q), params, batch["image"]), 1
+            )
+            print(f"model_fwd_int8[{min_ch}]", ab[f"min_ch_{min_ch}"], flush=True)
+        results["model_fwd_int8_ms"] = ab
+
     if (
         "nms_only" in phases
         or "suppression_only" in phases
