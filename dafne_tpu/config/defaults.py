@@ -257,9 +257,10 @@ def build_defaults() -> CfgNode:
     # accumulation on the MXU (~1.6x conv throughput on v5e). Predictors,
     # stem, offset generators and depthwise convs stay full precision.
     # Accuracy gate: tools/int8_canary.py / INT8_CANARY.json.
-    t.EVAL_INT8_MIN_CHANNELS = 128  # quantize only convs with >= this many
+    t.EVAL_INT8_MIN_CHANNELS = 256  # quantize only convs with >= this many
     # in AND out channels: the narrow early-backbone convs are HBM-bound and
-    # get SLOWER in int8 (requant traffic), the wide ones get the MXU win
-    # (A/B in PARITY.md)
+    # get SLOWER in int8 (requant traffic), the wide ones get the MXU win.
+    # 256 is the A/B winner at the shipped EVAL_BATCH=16 (75.6 vs 78.4 ms
+    # at 128, bf16 81.8); at batch 8 the two are within 1 ms (PARITY.md)
 
     return _C

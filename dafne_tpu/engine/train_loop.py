@@ -131,7 +131,7 @@ def do_test(
             AssignmentSpec.from_config(cfg),
             # quantization mode changes the emitted program (layers/quant.py)
             bool(cfg.TPU.get("EVAL_INT8", False)),
-            int(cfg.TPU.get("EVAL_INT8_MIN_CHANNELS", 128)),
+            int(cfg.TPU.get("EVAL_INT8_MIN_CHANNELS", 256)),
         )
         if cache_key not in _EVAL_STEP_CACHE:
             if len(_EVAL_STEP_CACHE) > 32:

@@ -149,7 +149,7 @@ def make_eval_step(model, cfg, image_hw: Tuple[int, int]):
     decode_spec = DecodeSpec.from_config(cfg, train=False)
     locs_list, *_ = make_location_tables(image_hw, assign_spec)
     eval_int8 = bool(cfg.TPU.get("EVAL_INT8", False))
-    int8_min_ch = int(cfg.TPU.get("EVAL_INT8_MIN_CHANNELS", 128))
+    int8_min_ch = int(cfg.TPU.get("EVAL_INT8_MIN_CHANNELS", 256))
 
     def eval_step(params, images, scale_xy: Optional[jnp.ndarray] = None,
                   batch_stats=None):

@@ -187,6 +187,36 @@ class TestFullModel:
         q_ir = step_q.lower(params, imgs).as_text()
         assert "i8" in q_ir and "i32" in q_ir
 
+    @pytest.mark.parametrize(
+        "backbone",
+        [
+            "build_dafne_dla_fpn_backbone",
+            "build_vovnet_fpn_backbone",
+            "build_mnv2_backbone",
+        ],
+    )
+    def test_other_backbone_families_run_under_int8_scope(self, backbone):
+        """DLA/VoVNet(eSE)/MobileNet have grouped, depthwise and 1x1 convs
+        the interceptor must quantize-or-skip without breaking the fwd."""
+        from dafne_tpu.models import build_model
+        from dafne_tpu.config import get_cfg
+
+        cfg = get_cfg()
+        cfg.MODEL.BACKBONE.NAME = backbone
+        cfg.MODEL.VOVNET.CONV_BODY = "V-19-eSE"
+        cfg.MODEL.FPN.OUT_CHANNELS = 64
+        cfg.MODEL.DAFNE.NUM_CLASSES = 2
+        cfg.MODEL.DAFNE.NUM_CLS_CONVS = 1
+        cfg.MODEL.DAFNE.NUM_BOX_CONVS = 1
+        cfg.TPU.COMPUTE_DTYPE = "float32"
+        model = build_model(cfg)
+        x = _rand((1, 128, 128, 3), seed=10, scale=50.0)
+        params = model.init(jax.random.PRNGKey(0), x)["params"]
+        with quantized_eval_scope(enabled=True, min_channels=64):
+            out = model.apply({"params": params}, x)
+        for lv in out["logits"]:
+            assert bool(jnp.all(jnp.isfinite(lv.astype(jnp.float32))))
+
     def test_model_forward_interception_count(self):
         """Eligible convs in the real model are intercepted; predictors are
         not (all have <64 output channels)."""
