@@ -257,10 +257,14 @@ def build_defaults() -> CfgNode:
     # accumulation on the MXU (~1.6x conv throughput on v5e). Predictors,
     # stem, offset generators and depthwise convs stay full precision.
     # Accuracy gate: tools/int8_canary.py / INT8_CANARY.json.
-    t.EVAL_INT8_MIN_CHANNELS = 256  # quantize only convs with >= this many
-    # in AND out channels: the narrow early-backbone convs are HBM-bound and
-    # get SLOWER in int8 (requant traffic), the wide ones get the MXU win.
-    # 256 is the A/B winner at the shipped EVAL_BATCH=16 (75.6 vs 78.4 ms
-    # at 128, bf16 81.8); at batch 8 the two are within 1 ms (PARITY.md)
+    t.EVAL_INT8_SCALES = ""  # path to a calibrated activation-scale JSON
+    # (tools/calibrate_int8.py): calibrated sites use STATIC scales — the
+    # quantize fuses into the producer op, no runtime max-reduce; "" = fully
+    # dynamic. Uncalibrated sites always fall back to dynamic.
+    t.EVAL_INT8_MIN_CHANNELS = 0  # quantize only convs with >= this many
+    # in AND out channels; 0 = auto per mode (measured A/B, PARITY.md):
+    # dynamic -> 256 (narrow HBM-bound convs get SLOWER from the per-call
+    # max-reduce + requant traffic), static/calibrated -> 64 (the quantize
+    # fuses into the producer, every eligible conv wins)
 
     return _C

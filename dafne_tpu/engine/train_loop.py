@@ -131,7 +131,8 @@ def do_test(
             AssignmentSpec.from_config(cfg),
             # quantization mode changes the emitted program (layers/quant.py)
             bool(cfg.TPU.get("EVAL_INT8", False)),
-            int(cfg.TPU.get("EVAL_INT8_MIN_CHANNELS", 256)),
+            int(cfg.TPU.get("EVAL_INT8_MIN_CHANNELS", 0)),
+            str(cfg.TPU.get("EVAL_INT8_SCALES", "")),
         )
         if cache_key not in _EVAL_STEP_CACHE:
             if len(_EVAL_STEP_CACHE) > 32:

@@ -149,7 +149,10 @@ def make_eval_step(model, cfg, image_hw: Tuple[int, int]):
     decode_spec = DecodeSpec.from_config(cfg, train=False)
     locs_list, *_ = make_location_tables(image_hw, assign_spec)
     eval_int8 = bool(cfg.TPU.get("EVAL_INT8", False))
-    int8_min_ch = int(cfg.TPU.get("EVAL_INT8_MIN_CHANNELS", 256))
+    # 0 = auto (dynamic -> 256, static -> 64; quantized_eval_scope)
+    int8_min_ch = int(cfg.TPU.get("EVAL_INT8_MIN_CHANNELS", 0))
+    # calibrated static scales loaded once at build time (host-side JSON)
+    int8_scales = cfg.TPU.get("EVAL_INT8_SCALES", "") or None
 
     def eval_step(params, images, scale_xy: Optional[jnp.ndarray] = None,
                   batch_stats=None):
@@ -158,7 +161,8 @@ def make_eval_step(model, cfg, image_hw: Tuple[int, int]):
             variables["batch_stats"] = batch_stats
         # interception happens at trace time: the jitted step is emitted
         # with w8a8 convs (layers/quant.py) when TPU.EVAL_INT8 is on
-        with quantized_eval_scope(enabled=eval_int8, min_channels=int8_min_ch):
+        with quantized_eval_scope(enabled=eval_int8, min_channels=int8_min_ch,
+                                  act_scales=int8_scales):
             out = model.apply(variables, images)
         return decode_detections(out, locs_list, decode_spec, scale_xy)
 

@@ -74,6 +74,20 @@ def quantize_tensor_dynamic(x: jnp.ndarray):
     return xq.astype(jnp.int8), scale
 
 
+def quantize_tensor_static(x: jnp.ndarray, amax: float):
+    """Symmetric int8 quantization with a calibrated constant scale.
+
+    Unlike the dynamic path there is no runtime max-reduce, so XLA fuses
+    the quantize into the producing op's epilogue (FrozenBN/ReLU writes
+    int8 directly) and the activation's HBM traffic into the conv halves.
+    Out-of-calibration-range values saturate at +-127 (standard PTQ
+    behavior; the canary gate owns the accuracy risk).
+    Returns (x_q int8, scale f32 scalar) with x ~= x_q * scale."""
+    scale = max(float(amax) / 127.0, _ACT_SCALE_FLOOR)
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
+    return xq.astype(jnp.int8), jnp.float32(scale)
+
+
 def quantize_kernel_per_channel(w: jnp.ndarray):
     """Symmetric per-output-channel int8 quantization of an HWIO kernel.
 
@@ -94,10 +108,15 @@ def _pair(v):
     return tuple(v)
 
 
-def int8_conv(x, kernel, bias, strides, padding, kernel_dilation, out_dtype):
-    """w8a8 conv: dynamic per-tensor act scale, per-channel weight scale,
-    s32 accumulation, dequant + bias in f32, cast to out_dtype."""
-    xq, xs = quantize_tensor_dynamic(x)
+def int8_conv(x, kernel, bias, strides, padding, kernel_dilation, out_dtype,
+              act_amax=None):
+    """w8a8 conv: per-channel weight scale, s32 accumulation, dequant +
+    bias in f32, cast to out_dtype.  Activation scale is dynamic per-image
+    unless a calibrated ``act_amax`` is given (static mode)."""
+    if act_amax is not None:
+        xq, xs = quantize_tensor_static(x, act_amax)
+    else:
+        xq, xs = quantize_tensor_dynamic(x)
     wq, ws = quantize_kernel_per_channel(kernel)
     y = lax.conv_general_dilated(
         xq,
@@ -137,14 +156,26 @@ def conv_is_quantizable(mod: nn.Module, x, min_channels: int = MIN_QUANT_CHANNEL
     return True
 
 
-def make_int8_conv_interceptor(min_channels: int = MIN_QUANT_CHANNELS):
+def module_site(mod: nn.Module) -> str:
+    """Stable string key for a bound module's position in the model tree."""
+    return "/".join(str(p) for p in (mod.path or ()))
+
+
+def make_int8_conv_interceptor(
+    min_channels: int = MIN_QUANT_CHANNELS, act_scales=None
+):
     """Build the interceptor with an eligibility channel threshold.
 
     The threshold picks where quantization pays on TPU: dequant/requant is
     extra HBM traffic around every quantized conv, so narrow bandwidth-bound
     convs (the early backbone stages) can get SLOWER in int8 while the wide
     compute-bound ones (towers/FPN/C4/C5) get the full MXU speedup —
-    measured A/B in PARITY.md."""
+    measured A/B in PARITY.md.
+
+    ``act_scales``: optional {site: act_amax} table from
+    ``calibrate_act_scales`` — sites found there use STATIC activation
+    scales (the quantize fuses into the producer, no runtime max-reduce);
+    missing sites fall back to the dynamic per-image scale."""
 
     def interceptor(next_fun, args, kwargs, context):
         mod = context.module
@@ -153,7 +184,8 @@ def make_int8_conv_interceptor(min_channels: int = MIN_QUANT_CHANNELS):
         x = args[0]
         if not conv_is_quantizable(mod, x, min_channels):
             return next_fun(*args, **kwargs)
-        return _quantized_call(next_fun, args, kwargs, mod, x)
+        amax = act_scales.get(module_site(mod)) if act_scales else None
+        return _quantized_call(next_fun, args, kwargs, mod, x, amax)
 
     return interceptor
 
@@ -172,7 +204,7 @@ def int8_conv_interceptor(next_fun, args, kwargs, context):
     return _quantized_call(next_fun, args, kwargs, mod, x)
 
 
-def _quantized_call(next_fun, args, kwargs, mod, x):
+def _quantized_call(next_fun, args, kwargs, mod, x, act_amax=None):
     ref_out = next_fun(*args, **kwargs)  # declares kernel/bias; DCE'd
     kernel = mod.get_variable("params", "kernel")
     bias = mod.get_variable("params", "bias") if mod.use_bias else None
@@ -184,23 +216,128 @@ def _quantized_call(next_fun, args, kwargs, mod, x):
         mod.padding,
         mod.kernel_dilation,
         ref_out.dtype,
+        act_amax=act_amax,
     )
 
 
-def quantized_eval_scope(cfg=None, enabled=None, min_channels=None):
+# ---------------------------------------------------------------------------
+# Static-scale calibration (abs-max PTQ)
+# ---------------------------------------------------------------------------
+
+CALIB_COLLECTION = "quant_stats"
+
+
+def make_calibration_interceptor(min_channels: int = MIN_QUANT_CHANNELS):
+    """Interceptor that records each eligible conv input's abs-max.
+
+    Runs the ORIGINAL conv (full precision) and sows max|x| into the
+    ``quant_stats`` collection, so one jitted
+    ``model.apply(..., mutable=[CALIB_COLLECTION])`` per calibration batch
+    returns every site's amax — no eager per-op dispatch through the
+    device tunnel."""
+
+    def interceptor(next_fun, args, kwargs, context):
+        mod = context.module
+        if (
+            context.method_name == "__call__"
+            and args
+            and conv_is_quantizable(mod, args[0], min_channels)
+        ):
+            mod.sow(
+                CALIB_COLLECTION,
+                "act_amax",
+                jnp.max(jnp.abs(args[0].astype(jnp.float32))),
+                reduce_fn=jnp.maximum,
+                init_fn=lambda: jnp.float32(0.0),
+            )
+        return next_fun(*args, **kwargs)
+
+    return interceptor
+
+
+def flatten_calib_stats(stats) -> dict:
+    """{site: amax} from the nested ``quant_stats`` collection."""
+    from flax.traverse_util import flatten_dict
+
+    out = {}
+    for key, val in flatten_dict(stats).items():
+        # key = (module, path..., 'act_amax'); sow without reduce_fn would
+        # wrap values in a tuple — unwrap defensively
+        if isinstance(val, (tuple, list)):
+            val = val[0] if len(val) else 0.0
+        out["/".join(key[:-1])] = float(val)
+    return out
+
+
+def calibrate_act_scales(
+    model,
+    variables,
+    batches,
+    min_channels: int = MIN_QUANT_CHANNELS,
+    slack: float = 1.0,
+) -> dict:
+    """Run calibration batches and return {site: act_amax * slack}.
+
+    ``batches`` is an iterable of image arrays shaped like the eval input.
+    One jitted step per distinct shape; amax aggregated with max on host."""
+    import jax as _jax
+
+    @_jax.jit
+    def calib_step(variables, images):
+        with nn.intercept_methods(make_calibration_interceptor(min_channels)):
+            _, mut = model.apply(
+                variables, images, mutable=[CALIB_COLLECTION]
+            )
+        return mut[CALIB_COLLECTION]
+
+    agg: dict = {}
+    for images in batches:
+        stats = flatten_calib_stats(_jax.device_get(calib_step(variables, images)))
+        for k, v in stats.items():
+            agg[k] = max(agg.get(k, 0.0), v)
+    return {k: v * slack for k, v in agg.items()}
+
+
+def save_act_scales(path: str, scales: dict) -> None:
+    import json
+
+    with open(path, "w") as f:
+        json.dump(scales, f, indent=1, sort_keys=True)
+
+
+def load_act_scales(path: str) -> dict:
+    import json
+
+    with open(path) as f:
+        return {str(k): float(v) for k, v in json.load(f).items()}
+
+
+def quantized_eval_scope(cfg=None, enabled=None, min_channels=None,
+                         act_scales=None):
     """Context manager enabling int8 eval convs while tracing model.apply.
 
-    Pass a config (reads ``cfg.TPU.EVAL_INT8`` / ``EVAL_INT8_MIN_CHANNELS``)
-    or ``enabled=``/``min_channels=`` directly; returns a nullcontext when
-    disabled so call sites can wrap unconditionally."""
+    Pass a config (reads ``cfg.TPU.EVAL_INT8`` / ``EVAL_INT8_MIN_CHANNELS``
+    / ``EVAL_INT8_SCALES``) or the keyword args directly; returns a
+    nullcontext when disabled so call sites can wrap unconditionally.
+    ``act_scales`` (a dict, or a path to a JSON saved by
+    ``save_act_scales``) switches calibrated sites to static scales."""
     if enabled is None:
         enabled = bool(cfg is not None and cfg.TPU.get("EVAL_INT8", False))
     if not enabled:
         return nullcontext()
+    if min_channels is None and cfg is not None:
+        min_channels = cfg.TPU.get("EVAL_INT8_MIN_CHANNELS", 0)
+    if act_scales is None and cfg is not None:
+        act_scales = cfg.TPU.get("EVAL_INT8_SCALES", "") or None
+    if isinstance(act_scales, str):
+        act_scales = load_act_scales(act_scales)
     if min_channels is None:
-        min_channels = (
-            cfg.TPU.get("EVAL_INT8_MIN_CHANNELS", MIN_QUANT_CHANNELS)
-            if cfg is not None
-            else MIN_QUANT_CHANNELS
-        )
-    return nn.intercept_methods(make_int8_conv_interceptor(min_channels))
+        min_channels = MIN_QUANT_CHANNELS  # bare API (no config)
+    elif min_channels <= 0:
+        # config 0 = auto: measured A/B winners (PARITY.md) — dynamic
+        # scales only pay on wide compute-bound convs; static (fused, no
+        # max-reduce) pays everywhere eligible
+        min_channels = MIN_QUANT_CHANNELS if act_scales else 256
+    return nn.intercept_methods(
+        make_int8_conv_interceptor(min_channels, act_scales)
+    )

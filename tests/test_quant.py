@@ -142,6 +142,111 @@ class TestInterceptor:
         assert bool(jnp.all(q == ref))
 
 
+class TestStaticScales:
+    def test_static_matches_dynamic_when_calibrated_on_same_image(self):
+        # batch 1: the dynamic per-image scale IS the tensor abs-max, so a
+        # calibration amax from the same image must reproduce the output
+        x = _rand((1, 16, 16, 64), seed=11)
+        conv = nn.Conv(64, (3, 3), padding=[(1, 1), (1, 1)])
+        v = conv.init(jax.random.PRNGKey(0), x)
+        with quantized_eval_scope(enabled=True):
+            dyn = conv.apply(v, x)
+        amax = float(jnp.max(jnp.abs(x)))
+        site_scales = {"": amax}  # unnamed root module -> empty site key
+        with quantized_eval_scope(enabled=True, act_scales=site_scales):
+            stat = conv.apply(v, x)
+        assert bool(jnp.allclose(stat, dyn, atol=1e-5, rtol=1e-5))
+
+    def test_undercalibrated_amax_saturates_not_nan(self):
+        x = _rand((1, 8, 8, 64), seed=12, scale=10.0)
+        conv = nn.Conv(64, (3, 3), padding=[(1, 1), (1, 1)])
+        v = conv.init(jax.random.PRNGKey(0), x)
+        with quantized_eval_scope(
+            enabled=True, act_scales={"": float(jnp.max(jnp.abs(x))) / 50}
+        ):
+            out = conv.apply(v, x)
+        assert bool(jnp.all(jnp.isfinite(out)))
+
+    def test_empty_scales_is_exact_dynamic_fallback(self):
+        x = _rand((1, 8, 8, 64), seed=13)
+        conv = nn.Conv(64, (3, 3), padding=[(1, 1), (1, 1)])
+        v = conv.init(jax.random.PRNGKey(0), x)
+        with quantized_eval_scope(enabled=True):
+            dyn = conv.apply(v, x)
+        with quantized_eval_scope(enabled=True, act_scales={}):
+            fb = conv.apply(v, x)
+        assert bool(jnp.all(fb == dyn))
+
+    def test_calibrate_model_and_static_eval(self, tmp_path):
+        """End-to-end: sow-based calibration over the real model, JSON
+        roundtrip, static-mode eval step runs and stays close to dynamic."""
+        from dafne_tpu.engine.trainer import make_eval_step
+        from dafne_tpu.layers.quant import (
+            calibrate_act_scales,
+            load_act_scales,
+            save_act_scales,
+        )
+        from dafne_tpu.models import build_model
+        from tests.test_model import tiny_cfg
+
+        overrides = {
+            "MODEL.RESNETS.RES2_OUT_CHANNELS": 64,
+            "MODEL.RESNETS.STEM_OUT_CHANNELS": 64,
+            "MODEL.FPN.OUT_CHANNELS": 64,
+            "TPU.EVAL_INT8": True,
+            "TPU.EVAL_INT8_MIN_CHANNELS": 64,
+        }
+        cfg = tiny_cfg(**overrides)
+        model = build_model(cfg)
+        hw = 128
+        params = jax.jit(
+            lambda: model.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, hw, hw, 3))
+            )["params"]
+        )()
+        imgs = _rand((2, hw, hw, 3), seed=14, scale=50.0)
+
+        scales = calibrate_act_scales(
+            model, {"params": params}, [imgs], min_channels=64
+        )
+        assert len(scales) >= 5 and all(v > 0 for v in scales.values())
+        path = str(tmp_path / "scales.json")
+        save_act_scales(path, scales)
+        assert load_act_scales(path) == {
+            k: float(v) for k, v in scales.items()
+        }
+
+        cfg_s = tiny_cfg(**overrides)
+        cfg_s.TPU.EVAL_INT8_SCALES = path
+        det_s = jax.jit(make_eval_step(model, cfg_s, (hw, hw)))(params, imgs)
+        det_d = jax.jit(make_eval_step(model, cfg, (hw, hw)))(params, imgs)
+        for k in det_d:
+            assert det_s[k].shape == det_d[k].shape
+            assert bool(
+                jnp.all(jnp.isfinite(det_s[k].astype(jnp.float32)))
+            ), k
+        # calibrated on the same image -> detection scores stay close
+        assert bool(
+            jnp.allclose(det_s["scores"], det_d["scores"], atol=5e-2)
+        )
+
+        # prove the serving lookup actually matches the calibration keys
+        # (a silent key mismatch would fall back to dynamic and the above
+        # closeness assert could not tell): crushing every calibrated
+        # site's amax must visibly change the model output
+        from dafne_tpu.layers.quant import quantized_eval_scope as qes
+
+        crushed = {k: 1e-6 for k in scales}
+        with qes(enabled=True, min_channels=64, act_scales=crushed):
+            out_c = model.apply({"params": params}, imgs)
+        with qes(enabled=True, min_channels=64):
+            out_d = model.apply({"params": params}, imgs)
+        diff = float(
+            jnp.max(jnp.abs(out_c["logits"][0] - out_d["logits"][0]))
+        )
+        assert diff > 1e-3, "static scales were silently ignored"
+
+
 class TestFullModel:
     def _cfg(self):
         from tests.test_model import tiny_cfg

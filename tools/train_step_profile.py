@@ -306,14 +306,39 @@ def main():
         # an in-run bf16 baseline at each eligibility threshold
         from dafne_tpu.engine.trainer import make_eval_step
 
+        import tempfile
+
+        from dafne_tpu.layers.quant import calibrate_act_scales, save_act_scales
+
+        # calibrate once at the loosest threshold (superset of all sites)
+        scales = calibrate_act_scales(
+            model, {"params": params}, [batch["image"]], min_channels=64
+        )
+        scales_path = os.path.join(
+            tempfile.mkdtemp(prefix="int8_scales_"), "scales.json"
+        )
+        save_act_scales(scales_path, scales)
+
+        # (mode, min_ch): dynamic per-image scales vs calibrated static
+        # scales (quantize fuses into the producer — the narrow-conv bet)
+        variants = [
+            ("bf16", 0, ""),
+            ("min_ch_128", 128, ""),
+            ("min_ch_256", 256, ""),
+            ("static_64", 64, scales_path),
+            ("static_128", 128, scales_path),
+            ("static_256", 256, scales_path),
+        ]
         ab = {}
-        for min_ch in (0, 128, 256):  # 0 = bf16 baseline
+        for key, min_ch, sp in variants:
 
             eval_step_q = jax.jit(
                 make_eval_step(
                     model,
                     flagship_cfg(
-                        EVAL_INT8=min_ch > 0, EVAL_INT8_MIN_CHANNELS=min_ch or 128
+                        EVAL_INT8=min_ch > 0,
+                        EVAL_INT8_MIN_CHANNELS=min_ch or 128,
+                        EVAL_INT8_SCALES=sp,
                     ),
                     (HW, HW),
                 )
@@ -325,7 +350,6 @@ def main():
                     jnp.sum(out["scores"]) + jnp.sum(out["corners"])
                 ).astype(jnp.float32)
 
-            key = "bf16" if min_ch == 0 else f"min_ch_{min_ch}"
             ab[key] = round(
                 timed_chain(jax.jit(eval_q), params, batch["image"]), 1
             )
