@@ -49,6 +49,17 @@ _DEVICE_KEYS = (
 _EVAL_STEP_CACHE: Dict = {}
 
 
+def _scales_file_key(path: str):
+    """Cache-key component for an int8 scales JSON: path + mtime + size."""
+    if not path:
+        return ""
+    try:
+        st = os.stat(path)
+        return (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (path, "missing")
+
+
 def setup_logging(output_dir: Optional[str] = None):
     handlers = [logging.StreamHandler()]
     if output_dir:
@@ -129,10 +140,13 @@ def do_test(
             use_mesh,
             DecodeSpec.from_config(cfg, train=False),
             AssignmentSpec.from_config(cfg),
-            # quantization mode changes the emitted program (layers/quant.py)
+            # quantization mode changes the emitted program (layers/quant.py);
+            # key the scales by file identity+mtime, not just path — a
+            # recalibration overwriting the same JSON must not silently
+            # reuse the program compiled with the old scales
             bool(cfg.TPU.get("EVAL_INT8", False)),
             int(cfg.TPU.get("EVAL_INT8_MIN_CHANNELS", 0)),
-            str(cfg.TPU.get("EVAL_INT8_SCALES", "")),
+            _scales_file_key(cfg.TPU.get("EVAL_INT8_SCALES", "")),
         )
         if cache_key not in _EVAL_STEP_CACHE:
             if len(_EVAL_STEP_CACHE) > 32:

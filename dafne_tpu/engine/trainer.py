@@ -151,8 +151,13 @@ def make_eval_step(model, cfg, image_hw: Tuple[int, int]):
     eval_int8 = bool(cfg.TPU.get("EVAL_INT8", False))
     # 0 = auto (dynamic -> 256, static -> 64; quantized_eval_scope)
     int8_min_ch = int(cfg.TPU.get("EVAL_INT8_MIN_CHANNELS", 0))
-    # calibrated static scales loaded once at build time (host-side JSON)
+    # calibrated static scales: load the JSON NOW (build time) so a later
+    # deletion of the file cannot fail inside a jit retrace
     int8_scales = cfg.TPU.get("EVAL_INT8_SCALES", "") or None
+    if eval_int8 and isinstance(int8_scales, str):
+        from dafne_tpu.layers.quant import load_act_scales
+
+        int8_scales = load_act_scales(int8_scales)
 
     def eval_step(params, images, scale_xy: Optional[jnp.ndarray] = None,
                   batch_stats=None):

@@ -45,6 +45,7 @@ from contextlib import nullcontext
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 from jax import lax
 
@@ -133,6 +134,22 @@ def int8_conv(x, kernel, bias, strides, padding, kernel_dilation, out_dtype,
     return y.astype(out_dtype)
 
 
+def _lax_padding_ok(padding) -> bool:
+    """True iff this nn.Conv padding can be passed verbatim to
+    lax.conv_general_dilated: 'SAME'/'VALID' or a sequence of (lo, hi)
+    pairs.  flax also accepts ints and sequences of ints (it canonicalizes
+    internally); those must fall back to the original conv, not crash."""
+    if isinstance(padding, str):
+        return padding.upper() in ("SAME", "VALID")
+    try:
+        return all(
+            not isinstance(p, (int, np.integer)) and len(p) == 2
+            for p in padding
+        )
+    except TypeError:
+        return False
+
+
 def conv_is_quantizable(mod: nn.Module, x, min_channels: int = MIN_QUANT_CHANNELS) -> bool:
     """True iff this bound module is a plain nn.Conv we can run in int8."""
     if type(mod) is not nn.Conv:
@@ -148,10 +165,9 @@ def conv_is_quantizable(mod: nn.Module, x, min_channels: int = MIN_QUANT_CHANNEL
         return False
     if getattr(mod, "mask", None) is not None:
         return False
-    if isinstance(mod.padding, str) and mod.padding.upper() not in (
-        "SAME",
-        "VALID",
-    ):
+    if len(tuple(mod.kernel_size)) != 2:
+        return False
+    if not _lax_padding_ok(mod.padding):
         return False
     return True
 
@@ -162,7 +178,9 @@ def module_site(mod: nn.Module) -> str:
 
 
 def make_int8_conv_interceptor(
-    min_channels: int = MIN_QUANT_CHANNELS, act_scales=None
+    min_channels: int = MIN_QUANT_CHANNELS,
+    act_scales=None,
+    dynamic_min_channels: int = 256,
 ):
     """Build the interceptor with an eligibility channel threshold.
 
@@ -174,10 +192,18 @@ def make_int8_conv_interceptor(
 
     ``act_scales``: optional {site: act_amax} table from
     ``calibrate_act_scales`` — sites found there use STATIC activation
-    scales (the quantize fuses into the producer, no runtime max-reduce);
-    missing sites fall back to the dynamic per-image scale."""
+    scales (the quantize fuses into the producer, no runtime max-reduce).
+    Sites missing from the table (or recorded as amax<=0, i.e. the input
+    was all-zero during calibration) fall back to the dynamic per-image
+    scale — but only where dynamic quantization actually pays
+    (``dynamic_min_channels``, default 256 per the A/B in PARITY.md);
+    below that they stay full precision rather than regress."""
 
-    def interceptor(next_fun, args, kwargs, context):
+    act_scales = act_scales or None  # empty table == no table == dynamic
+
+    def interceptor(
+        next_fun, args, kwargs, context, _dyn_min=dynamic_min_channels
+    ):
         mod = context.module
         if context.method_name != "__call__" or not args:
             return next_fun(*args, **kwargs)
@@ -185,6 +211,16 @@ def make_int8_conv_interceptor(
         if not conv_is_quantizable(mod, x, min_channels):
             return next_fun(*args, **kwargs)
         amax = act_scales.get(module_site(mod)) if act_scales else None
+        if amax is not None and amax <= 0:
+            amax = None  # all-zero at calibration time != zero at serving
+        if (
+            amax is None
+            and act_scales is not None
+            and not conv_is_quantizable(mod, x, _dyn_min)
+        ):
+            # uncalibrated narrow conv in static mode: dynamic int8 would
+            # be SLOWER than bf16 here — keep full precision
+            return next_fun(*args, **kwargs)
         return _quantized_call(next_fun, args, kwargs, mod, x, amax)
 
     return interceptor

@@ -131,6 +131,26 @@ class TestInterceptor:
         assert conv_is_quantizable(ok, x)
         assert not conv_is_quantizable(bad, x)
         assert not conv_is_quantizable(ok, jnp.zeros((8, 8, 64)))  # ndim!=4
+        # flax-legal paddings lax.conv rejects must fall back, not crash
+        assert not conv_is_quantizable(
+            nn.Conv(MIN_QUANT_CHANNELS, (3, 3), padding=1), x
+        )
+        assert not conv_is_quantizable(
+            nn.Conv(MIN_QUANT_CHANNELS, (3, 3), padding=[1, 1]), x
+        )
+        # 1D kernels on 4D input are flax-legal too
+        assert not conv_is_quantizable(
+            nn.Conv(MIN_QUANT_CHANNELS, (3,), padding="SAME"), x
+        )
+
+    def test_int_padding_conv_runs_full_precision_not_crash(self):
+        x = _rand((1, 8, 8, 64), seed=15)
+        conv = nn.Conv(64, (3, 3), padding=1)  # stored verbatim by flax
+        v = conv.init(jax.random.PRNGKey(0), x)
+        ref = conv.apply(v, x)
+        with quantized_eval_scope(enabled=True):
+            q = conv.apply(v, x)
+        assert bool(jnp.all(q == ref))
 
     def test_scope_disabled_is_noop(self):
         x = _rand((1, 8, 8, 64), seed=6)
@@ -176,6 +196,34 @@ class TestStaticScales:
         with quantized_eval_scope(enabled=True, act_scales={}):
             fb = conv.apply(v, x)
         assert bool(jnp.all(fb == dyn))
+
+    def test_zero_amax_falls_back_to_dynamic(self):
+        # a site recorded all-zero at calibration must NOT crush real
+        # serving inputs through a 1e-8 static scale
+        x = _rand((1, 8, 8, 256), seed=16)
+        conv = nn.Conv(256, (3, 3), padding=[(1, 1), (1, 1)])
+        v = conv.init(jax.random.PRNGKey(0), x)
+        with quantized_eval_scope(enabled=True, min_channels=64):
+            dyn = conv.apply(v, x)
+        with quantized_eval_scope(
+            enabled=True, min_channels=64, act_scales={"": 0.0}
+        ):
+            out = conv.apply(v, x)
+        assert bool(jnp.all(out == dyn))
+
+    def test_uncalibrated_narrow_site_stays_full_precision(self):
+        # static mode, site missing from the table, channels below the
+        # dynamic-win threshold (256): full precision, not dynamic int8
+        x = _rand((1, 8, 8, 64), seed=17)
+        conv = nn.Conv(64, (3, 3), padding=[(1, 1), (1, 1)])
+        v = conv.init(jax.random.PRNGKey(0), x)
+        ref = conv.apply(v, x)
+        with quantized_eval_scope(
+            enabled=True, min_channels=64,
+            act_scales={"some/other/site": 1.0},
+        ):
+            out = conv.apply(v, x)
+        assert bool(jnp.all(out == ref))
 
     def test_calibrate_model_and_static_eval(self, tmp_path):
         """End-to-end: sow-based calibration over the real model, JSON
@@ -257,8 +305,8 @@ class TestFullModel:
             "MODEL.RESNETS.STEM_OUT_CHANNELS": 64,
             "MODEL.FPN.OUT_CHANNELS": 64,
             "TPU.EVAL_INT8": True,
-            # the shipped default (128) targets 256-wide flagship convs;
-            # this test model is 64-wide throughout
+            # the shipped default (0 = auto: dynamic 256 / static 64)
+            # targets the 256-wide flagship; this test model is 64-wide
             "TPU.EVAL_INT8_MIN_CHANNELS": 64,
         })
 
