@@ -284,11 +284,14 @@ def apply_color_augmentations(img: np.ndarray, rng: np.random.RandomState) -> np
     # RandomBrightness: out = w * img
     w = rng.uniform(0.5, 1.5)
     img = blend(0.0, 1.0 - w, w, img)
-    # RandomContrast: out = (1-w) * mean(img) + w * img
+    # RandomContrast: out = (1-w) * mean(img) + w * img — d2 computes the
+    # mean on the raw (uint8) array, i.e. in float64; keeping f64 here is
+    # what makes the pixel-level parity exact, f32 drifts ~1e-4 on 1024²
     w = rng.uniform(0.5, 1.5)
-    img = blend(img.astype(np.float32).mean(), 1.0 - w, w, img)
-    # RandomSaturation: out = (1-w) * grayscale + w * img
+    img = blend(img.mean(dtype=np.float64), 1.0 - w, w, img)
+    # RandomSaturation: out = (1-w) * grayscale + w * img — d2 dots the raw
+    # array with f64 coefficients (float64 result), same reasoning
     w = rng.uniform(0.5, 1.5)
-    gray = img.astype(np.float32).dot([0.299, 0.587, 0.114])[:, :, None]
+    gray = img.astype(np.float64).dot([0.299, 0.587, 0.114])[:, :, None]
     img = blend(gray, 1.0 - w, w, img)
     return img

@@ -41,7 +41,11 @@ def exact_topk_set(scores: jnp.ndarray, k: int):
       smallest-index remaining entries (zeros), like a padded top_k.
     """
     n = scores.shape[-1]
-    if k >= n:
+    if k > n:
+        # fail fast at the contract boundary — silently returning width n
+        # would break static-shape callers far from the cause
+        raise ValueError(f"exact_topk_set: k={k} > n={n}")
+    if k == n:
         idx = jnp.broadcast_to(jnp.arange(n), scores.shape)
         return scores, idx
     lead = scores.shape[:-1]

@@ -345,9 +345,11 @@ def test_color_augmentations_match_detectron2_formulas():
     w = r2.uniform(0.5, 1.5)                      # brightness: w * img
     x = u8(w * x.astype(np.float32))
     w = r2.uniform(0.5, 1.5)                      # contrast: blend with mean
-    x = u8((1 - w) * x.astype(np.float32).mean() + w * x.astype(np.float32))
+    # d2 takes .mean() of the raw uint8 array -> float64
+    x = u8((1 - w) * x.mean(dtype=np.float64) + w * x.astype(np.float32))
     w = r2.uniform(0.5, 1.5)                      # saturation: blend with gray
-    gray = x.astype(np.float32).dot([0.299, 0.587, 0.114])[:, :, None]
+    # d2 dots the raw array with float64 coefficients -> float64 grayscale
+    gray = x.astype(np.float64).dot([0.299, 0.587, 0.114])[:, :, None]
     x = u8((1 - w) * gray + w * x.astype(np.float32))
     np.testing.assert_array_equal(got, x)
 

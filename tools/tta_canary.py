@@ -97,7 +97,12 @@ def main():
     )
     tta_map = tta["synthetic_train"]["mAP"]
 
-    n_augs = 2 * 3 + 3  # MIN_SIZES x {base, hflip, vflip}
+    # derive from the actual aug builder so the artifact can't desync from
+    # the measurement setup (e.g. if MIN_SIZES or ROTATION_ANGLES change)
+    from dafne_tpu.engine.tta import build_tta_augs
+
+    h0, w0 = img.shape[:2]
+    n_augs = len(build_tta_augs(cfg, w0, h0))
     results = {
         "iters": cfg.SOLVER.MAX_ITER,
         "train_s": train_s,
