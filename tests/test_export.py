@@ -62,3 +62,55 @@ def test_export_roundtrip_matches_live(tmp_path):
             np.asarray(replayed[k]), np.asarray(live[k]), atol=1e-5,
             err_msg=k,
         )
+
+
+def test_export_roundtrip_int8(tmp_path):
+    """The quantized (w8a8) eval step must also serialize and replay —
+    int8 convolutions are plain StableHLO, so the serving artifact can
+    ship the quantized pipeline too (framework-only feature)."""
+    from jax import export as jexport
+
+    from dafne_tpu.config import get_cfg
+    from dafne_tpu.engine.trainer import make_eval_step
+    from dafne_tpu.models import build_model
+
+    cfg = get_cfg()
+    cfg.merge_from_file("configs/synthetic/base.yaml")
+    cfg.MODEL.RESNETS.DEPTH = 18
+    cfg.MODEL.RESNETS.OUT_FEATURES = ["res3", "res4", "res5"]
+    cfg.MODEL.RESNETS.RES2_OUT_CHANNELS = 64
+    cfg.MODEL.RESNETS.STEM_OUT_CHANNELS = 64
+    cfg.MODEL.FPN.OUT_CHANNELS = 64
+    cfg.MODEL.DAFNE.NUM_CLS_CONVS = 1
+    cfg.MODEL.DAFNE.NUM_BOX_CONVS = 1
+    cfg.MODEL.DAFNE.PRE_NMS_TOPK_TEST = 64
+    cfg.MODEL.DAFNE.POST_NMS_TOPK_TEST = 32
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.TPU.NMS_MAX_CANDIDATES = 128
+    cfg.TPU.EVAL_INT8 = True
+    cfg.TPU.EVAL_INT8_MIN_CHANNELS = 64
+
+    model = build_model(cfg)
+    pad_hw = (128, 128)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1,) + pad_hw + (3,)))[
+        "params"
+    ]
+    eval_step = make_eval_step(model, cfg, pad_hw)
+    fn = jax.jit(lambda images, scale: eval_step(params, images, scale))
+
+    img_spec = jax.ShapeDtypeStruct((2,) + pad_hw + (3,), jnp.float32)
+    scale_spec = jax.ShapeDtypeStruct((2, 2), jnp.float32)
+    exported = jexport.export(fn)(img_spec, scale_spec)
+    assert "i8" in exported.mlir_module()  # quantized convs really inside
+    blob = exported.serialize()
+
+    rng = np.random.RandomState(1)
+    images = jnp.asarray(rng.rand(2, *pad_hw, 3).astype(np.float32) * 255)
+    scale = jnp.ones((2, 2), jnp.float32)
+    live = fn(images, scale)
+    replayed = jexport.deserialize(bytearray(blob)).call(images, scale)
+    for k in live:
+        np.testing.assert_allclose(
+            np.asarray(replayed[k]), np.asarray(live[k]), atol=1e-5,
+            err_msg=k,
+        )
