@@ -1,0 +1,93 @@
+"""HTTP serving front-end smoke (tools/serve.py).
+
+Runs the tiny detector behind the stdlib server and drives the real HTTP
+surface: /healthz, a .npy /detect round-trip (image smaller than the
+canvas — exercising the mapper-faithful resize + scale_xy), and the
+error path."""
+
+import http.client
+import io
+import json
+import os
+import sys
+import threading
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _tiny_cfg(tmp_path):
+    from dafne_tpu.config import get_cfg
+
+    cfg = get_cfg()
+    cfg.merge_from_file("configs/synthetic/base.yaml")
+    cfg.MODEL.RESNETS.DEPTH = 18
+    cfg.MODEL.RESNETS.OUT_FEATURES = ["res3", "res4", "res5"]
+    cfg.MODEL.FPN.OUT_CHANNELS = 32
+    cfg.MODEL.DAFNE.NUM_CLS_CONVS = 1
+    cfg.MODEL.DAFNE.NUM_BOX_CONVS = 1
+    cfg.MODEL.DAFNE.PRE_NMS_TOPK_TEST = 64
+    cfg.MODEL.DAFNE.POST_NMS_TOPK_TEST = 32
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.TPU.NMS_MAX_CANDIDATES = 128
+    cfg.TPU.EVAL_BATCH = 1
+    cfg.OUTPUT_DIR = str(tmp_path / "out")
+    cfg.freeze()
+    return cfg
+
+
+def test_serve_http_roundtrip(tmp_path):
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+        ),
+    )
+    from serve import DetectorService, make_server
+
+    service = DetectorService.from_config(_tiny_cfg(tmp_path))
+    srv = make_server(service, host="127.0.0.1", port=0)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+
+        conn.request("GET", "/healthz")
+        r = conn.getresponse()
+        health = json.loads(r.read())
+        assert r.status == 200 and health["ok"]
+        assert health["canvas"] == list(service.pad_hw)
+
+        # image smaller than the canvas -> resize + scale_xy path
+        img = np.random.RandomState(0).randint(
+            0, 256, (97, 123, 3), np.uint8
+        )
+        buf = io.BytesIO()
+        np.save(buf, img)
+        conn.request("POST", "/detect", body=buf.getvalue())
+        r = conn.getresponse()
+        out = json.loads(r.read())
+        assert r.status == 200, out
+        assert "detections" in out
+        for d in out["detections"]:
+            assert len(d["corners"]) == 8 and len(d["hbox"]) == 4
+            assert 0.0 <= d["score"] <= 1.0
+            # rescaled to ORIGINAL coordinates: inside the (padded-model
+            # inverse-scaled) original frame, loose bound
+            assert all(abs(v) < 4 * 123 for v in d["corners"])
+
+        # error path: garbage body -> 400, server stays alive
+        conn.request("POST", "/detect", body=b"not an npy")
+        r = conn.getresponse()
+        assert r.status == 400
+        assert "error" in json.loads(r.read())
+
+        conn.request("GET", "/healthz")
+        assert conn.getresponse().status == 200
+    finally:
+        srv.shutdown()

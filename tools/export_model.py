@@ -76,6 +76,13 @@ def build_exported(cfg, batch: int, weights_as_args: bool):
         "platforms": list(exported.platforms),
         "output_keys": ["corners", "hboxes", "scores", "classes",
                         "centerness", "locations", "valid"],
+        # eval-preprocessing recipe, so tools/serve.py can reproduce the
+        # mapper's resize + scale_xy without the config
+        "resize_type": cfg.INPUT.RESIZE_TYPE,
+        "min_size_test": cfg.INPUT.MIN_SIZE_TEST,
+        "max_size_test": cfg.INPUT.MAX_SIZE_TEST,
+        "resize_width_test": cfg.INPUT.get("RESIZE_WIDTH_TEST", 0),
+        "resize_height_test": cfg.INPUT.get("RESIZE_HEIGHT_TEST", 0),
     }
     return exported, meta
 

@@ -1,0 +1,239 @@
+#!/usr/bin/env python3
+"""Minimal HTTP serving front-end for the fused inference pipeline.
+
+Stdlib-only (http.server) demo server wrapping either a serialized
+StableHLO artifact (tools/export_model.py) or a live checkpoint — the
+deployment story the reference's vestigial caffe2 deploy examples never
+shipped (SURVEY.md §2.4).  One request = one image; the single jitted
+program (model + decode + rotated NMS) runs under a single-flight lock
+(ONE chip, one program at a time).
+
+Usage:
+  python tools/serve.py --artifact OUT/model.stablehlo [--port 8321]
+  python tools/serve.py --config-file configs/dota-1.0/1024.yaml \
+      OUTPUT_DIR runs/exp1 [--port 8321]    # live mode, loads checkpoint
+
+API:
+  GET  /healthz          -> {"ok": true, "canvas": [H, W], "batch": N}
+  POST /detect           body: .npy bytes of an HxWx3 uint8/float image
+                         (channel order = the recipe's INPUT.FORMAT, BGR
+                         in every shipped config)
+                         -> {"detections": [{"corners": [8 floats, original
+                            coords], "hbox": [4], "score": s, "class": c}]}
+
+Preprocessing reproduces the eval mapper exactly: d2 shortest-edge resize
+(or fixed resize per INPUT.RESIZE_TYPE), top-left placement on the static
+canvas, detections rescaled to original coordinates by the same
+scale_xy = (w/rw, h/rh) the evaluator uses (data/mapper.py).
+"""
+
+import argparse
+import io
+import json
+import os
+import sys
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def _resize_hw(h, w, meta):
+    """New (rh, rw) per the recipe's eval resize rule (transforms.py)."""
+    if meta.get("resize_type", "shortest-edge") == "shortest-edge":
+        size = float(meta["min_size_test"])
+        scale = size / min(h, w)
+        if h < w:
+            nh, nw = size, scale * w
+        else:
+            nh, nw = scale * h, size
+        mx = float(meta["max_size_test"])
+        if max(nh, nw) > mx:
+            s2 = mx / max(nh, nw)
+            nh, nw = nh * s2, nw * s2
+        return int(nh + 0.5), int(nw + 0.5)
+    return int(meta["resize_height_test"]), int(meta["resize_width_test"])
+
+
+class DetectorService:
+    """Wraps a call(images [B,H,W,3] f32, scale_xy [B,2] f32) -> dict."""
+
+    def __init__(self, call_fn, batch, pad_hw, meta):
+        self._call = call_fn
+        self.batch = int(batch)
+        self.pad_hw = tuple(pad_hw)
+        self.meta = meta
+        self._lock = threading.Lock()  # single-flight: one chip, one program
+
+    @classmethod
+    def from_artifact(cls, path):
+        from jax import export as jexport
+
+        with open(path, "rb") as f:
+            exported = jexport.deserialize(bytearray(f.read()))
+        meta_path = os.path.join(os.path.dirname(path), "export_meta.json")
+        meta = json.load(open(meta_path))
+        if meta.get("weights_as_args"):
+            raise SystemExit(
+                "weights-as-args artifacts need the param tree; export "
+                "without --weights-as-args for serving"
+            )
+        return cls(
+            lambda images, scale: exported.call(images, scale),
+            meta["batch"],
+            meta["pad_hw"],
+            meta,
+        )
+
+    @classmethod
+    def from_config(cls, cfg):
+        import jax
+
+        from dafne_tpu.data.mapper import pad_target_hw
+        from dafne_tpu.engine.checkpoint import Checkpointer
+        from dafne_tpu.engine.train_loop import build_state
+        from dafne_tpu.engine.trainer import make_eval_step
+        from dafne_tpu.models import build_model
+
+        model = build_model(cfg)
+        pad_hw = pad_target_hw(cfg, train=False)
+        state, _, _ = build_state(cfg, model, pad_hw)
+        state, _ = Checkpointer(cfg.OUTPUT_DIR).resume_or_load(
+            state, cfg, resume=True
+        )
+        step = jax.jit(make_eval_step(model, cfg, pad_hw))
+        params, bs = state.params, state.batch_stats
+        batch = max(1, int(cfg.TPU.EVAL_BATCH))
+        meta = {
+            "resize_type": cfg.INPUT.RESIZE_TYPE,
+            "min_size_test": cfg.INPUT.MIN_SIZE_TEST,
+            "max_size_test": cfg.INPUT.MAX_SIZE_TEST,
+            "resize_width_test": cfg.INPUT.get("RESIZE_WIDTH_TEST", 0),
+            "resize_height_test": cfg.INPUT.get("RESIZE_HEIGHT_TEST", 0),
+        }
+        return cls(
+            lambda images, scale: step(params, images, scale, bs),
+            batch,
+            pad_hw,
+            meta,
+        )
+
+    def detect(self, img: np.ndarray):
+        """HxWx3 image (recipe channel order) -> list of detection dicts
+        in ORIGINAL image coordinates."""
+        import cv2
+
+        if img.ndim != 3 or img.shape[-1] != 3:
+            raise ValueError(f"expected HxWx3, got {img.shape}")
+        h, w = img.shape[:2]
+        rh, rw = _resize_hw(h, w, self.meta)
+        ph, pw = self.pad_hw
+        rh, rw = min(rh, ph), min(rw, pw)
+        resized = cv2.resize(
+            np.clip(img, 0, 255).astype(np.uint8), (rw, rh),
+            interpolation=cv2.INTER_LINEAR,
+        )
+        images = np.zeros((self.batch, ph, pw, 3), np.float32)
+        images[0, :rh, :rw] = resized
+        scale = np.ones((self.batch, 2), np.float32)
+        scale[0] = [w / rw, h / rh]
+
+        with self._lock:
+            out = self._call(images, scale)
+        out = {k: np.asarray(v) for k, v in out.items()}
+        keep = out["valid"][0].astype(bool)
+        dets = []
+        for i in np.nonzero(keep)[0]:
+            dets.append(
+                {
+                    "corners": [float(x) for x in out["corners"][0, i]],
+                    "hbox": [float(x) for x in out["hboxes"][0, i]],
+                    "score": float(out["scores"][0, i]),
+                    "class": int(out["classes"][0, i]),
+                }
+            )
+        dets.sort(key=lambda d: -d["score"])
+        return dets
+
+
+def make_server(service: DetectorService, host="127.0.0.1", port=8321):
+    class Handler(BaseHTTPRequestHandler):
+        def _json(self, code, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {
+                    "ok": True,
+                    "canvas": list(service.pad_hw),
+                    "batch": service.batch,
+                })
+            else:
+                self._json(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/detect":
+                return self._json(404, {"error": "unknown path"})
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                img = np.load(io.BytesIO(self.rfile.read(n)),
+                              allow_pickle=False)
+                dets = service.detect(np.asarray(img))
+                self._json(200, {"detections": dets})
+            except Exception as e:  # serving: report, don't die
+                self._json(400, {"error": str(e)})
+
+        def log_message(self, *a):  # quiet access log
+            pass
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def main(argv=None):
+    from dafne_tpu.utils.platform import (
+        pin_platform_from_env,
+        setup_compilation_cache,
+    )
+
+    pin_platform_from_env()
+    setup_compilation_cache()
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--artifact", default="", help="model.stablehlo path")
+    p.add_argument("--config-file", default="", help="live mode recipe")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8321)
+    p.add_argument("opts", nargs="*", default=[])
+    args = p.parse_args(argv)
+
+    if args.artifact:
+        service = DetectorService.from_artifact(args.artifact)
+    elif args.config_file:
+        from dafne_tpu.config import load_config
+
+        cfg = load_config(args.config_file, freeze=False)
+        if args.opts:
+            cfg.merge_from_list(args.opts)
+        cfg.freeze()
+        service = DetectorService.from_config(cfg)
+    else:
+        raise SystemExit("need --artifact or --config-file")
+
+    srv = make_server(service, args.host, args.port)
+    print(json.dumps({
+        "serving": f"http://{args.host}:{srv.server_address[1]}",
+        "canvas": list(service.pad_hw),
+        "batch": service.batch,
+    }), flush=True)
+    srv.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
