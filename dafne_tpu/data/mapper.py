@@ -205,6 +205,20 @@ class DatasetMapper:
         }
 
 
+def eval_preprocess_meta(cfg) -> dict:
+    """The eval-time preprocessing recipe as a plain dict — single source
+    for the export artifact metadata (tools/export_model.py) and live-mode
+    serving (tools/serve.py), so the two can't diverge."""
+    return {
+        "resize_type": cfg.INPUT.RESIZE_TYPE,
+        "min_size_test": cfg.INPUT.MIN_SIZE_TEST,
+        "max_size_test": cfg.INPUT.MAX_SIZE_TEST,
+        "resize_width_test": cfg.INPUT.get("RESIZE_WIDTH_TEST", 0),
+        "resize_height_test": cfg.INPUT.get("RESIZE_HEIGHT_TEST", 0),
+        "input_format": cfg.INPUT.FORMAT,  # channel order clients must send
+    }
+
+
 def eval_pad_hw(cfg, records) -> Tuple[int, int]:
     """Tight static eval canvas: the max RESIZED extent over the dataset's
     records (dims known without image IO), rounded up to the divisibility.

@@ -35,7 +35,7 @@ def build_exported(cfg, batch: int, weights_as_args: bool):
     import numpy as np
     from jax import export as jexport
 
-    from dafne_tpu.data.mapper import pad_target_hw
+    from dafne_tpu.data.mapper import eval_preprocess_meta, pad_target_hw
     from dafne_tpu.engine.checkpoint import Checkpointer
     from dafne_tpu.engine.train_loop import build_state
     from dafne_tpu.engine.trainer import make_eval_step
@@ -76,13 +76,10 @@ def build_exported(cfg, batch: int, weights_as_args: bool):
         "platforms": list(exported.platforms),
         "output_keys": ["corners", "hboxes", "scores", "classes",
                         "centerness", "locations", "valid"],
-        # eval-preprocessing recipe, so tools/serve.py can reproduce the
-        # mapper's resize + scale_xy without the config
-        "resize_type": cfg.INPUT.RESIZE_TYPE,
-        "min_size_test": cfg.INPUT.MIN_SIZE_TEST,
-        "max_size_test": cfg.INPUT.MAX_SIZE_TEST,
-        "resize_width_test": cfg.INPUT.get("RESIZE_WIDTH_TEST", 0),
-        "resize_height_test": cfg.INPUT.get("RESIZE_HEIGHT_TEST", 0),
+        # eval-preprocessing recipe (incl. channel order), so
+        # tools/serve.py can reproduce the mapper's resize + scale_xy
+        # without the config
+        **eval_preprocess_meta(cfg),
     }
     return exported, meta
 

@@ -91,7 +91,7 @@ class DetectorService:
     def from_config(cls, cfg):
         import jax
 
-        from dafne_tpu.data.mapper import pad_target_hw
+        from dafne_tpu.data.mapper import eval_preprocess_meta, pad_target_hw
         from dafne_tpu.engine.checkpoint import Checkpointer
         from dafne_tpu.engine.train_loop import build_state
         from dafne_tpu.engine.trainer import make_eval_step
@@ -100,29 +100,35 @@ class DetectorService:
         model = build_model(cfg)
         pad_hw = pad_target_hw(cfg, train=False)
         state, _, _ = build_state(cfg, model, pad_hw)
-        state, _ = Checkpointer(cfg.OUTPUT_DIR).resume_or_load(
+        state, ckpt_step = Checkpointer(cfg.OUTPUT_DIR).resume_or_load(
             state, cfg, resume=True
         )
+        if not ckpt_step and not cfg.MODEL.WEIGHTS:
+            # fail loudly: a typo'd OUTPUT_DIR would otherwise serve
+            # random weights with 200 OK on every request
+            print(
+                f"WARNING: no checkpoint under {cfg.OUTPUT_DIR} and "
+                "MODEL.WEIGHTS is empty — serving UNTRAINED weights",
+                file=sys.stderr, flush=True,
+            )
+        # one image per request: serve at batch 1, not TPU.EVAL_BATCH —
+        # zero-padding a 16-wide eval batch would cost ~16x per request
         step = jax.jit(make_eval_step(model, cfg, pad_hw))
         params, bs = state.params, state.batch_stats
-        batch = max(1, int(cfg.TPU.EVAL_BATCH))
-        meta = {
-            "resize_type": cfg.INPUT.RESIZE_TYPE,
-            "min_size_test": cfg.INPUT.MIN_SIZE_TEST,
-            "max_size_test": cfg.INPUT.MAX_SIZE_TEST,
-            "resize_width_test": cfg.INPUT.get("RESIZE_WIDTH_TEST", 0),
-            "resize_height_test": cfg.INPUT.get("RESIZE_HEIGHT_TEST", 0),
-        }
+        meta = dict(eval_preprocess_meta(cfg), checkpoint_step=int(ckpt_step))
         return cls(
             lambda images, scale: step(params, images, scale, bs),
-            batch,
+            1,
             pad_hw,
             meta,
         )
 
     def detect(self, img: np.ndarray):
-        """HxWx3 image (recipe channel order) -> list of detection dicts
-        in ORIGINAL image coordinates."""
+        """HxWx3 image in the recipe channel order (`meta['input_format']`,
+        BGR in every shipped config), pixel range 0-255 (uint8 or float) —
+        the range the model was trained on; [0,1]-normalized floats will
+        produce garbage.  Returns detection dicts in ORIGINAL image
+        coordinates."""
         import cv2
 
         if img.ndim != 3 or img.shape[-1] != 3:
@@ -131,12 +137,15 @@ class DetectorService:
         rh, rw = _resize_hw(h, w, self.meta)
         ph, pw = self.pad_hw
         rh, rw = min(rh, ph), min(rw, pw)
+        # resize in float like the mapper (uint8 conversion happens AFTER
+        # resize there, data/mapper.py); the model normalizes on-chip
         resized = cv2.resize(
-            np.clip(img, 0, 255).astype(np.uint8), (rw, rh),
+            np.asarray(img, np.float32), (rw, rh),
             interpolation=cv2.INTER_LINEAR,
         )
         images = np.zeros((self.batch, ph, pw, 3), np.float32)
-        images[0, :rh, :rw] = resized
+        # mapper-exact: uint8 truncation AFTER resize (data/mapper.py)
+        images[0, :rh, :rw] = np.clip(resized, 0, 255).astype(np.uint8)
         scale = np.ones((self.batch, 2), np.float32)
         scale[0] = [w / rw, h / rh]
 
@@ -168,12 +177,16 @@ def make_server(service: DetectorService, host="127.0.0.1", port=8321):
             self.end_headers()
             self.wfile.write(body)
 
+        MAX_BODY = 256 << 20  # generous cap; an .npy image is << this
+
         def do_GET(self):
             if self.path == "/healthz":
                 self._json(200, {
                     "ok": True,
                     "canvas": list(service.pad_hw),
                     "batch": service.batch,
+                    "input_format": service.meta.get("input_format", "BGR"),
+                    "checkpoint_step": service.meta.get("checkpoint_step"),
                 })
             else:
                 self._json(404, {"error": "unknown path"})
@@ -183,12 +196,18 @@ def make_server(service: DetectorService, host="127.0.0.1", port=8321):
                 return self._json(404, {"error": "unknown path"})
             try:
                 n = int(self.headers.get("Content-Length", 0))
+                if n > self.MAX_BODY:
+                    return self._json(
+                        413, {"error": f"body {n} bytes > {self.MAX_BODY}"}
+                    )
                 img = np.load(io.BytesIO(self.rfile.read(n)),
                               allow_pickle=False)
                 dets = service.detect(np.asarray(img))
                 self._json(200, {"detections": dets})
-            except Exception as e:  # serving: report, don't die
+            except ValueError as e:  # malformed body / wrong shape
                 self._json(400, {"error": str(e)})
+            except Exception as e:  # model/runtime fault: OUR fault, 500
+                self._json(500, {"error": str(e)})
 
         def log_message(self, *a):  # quiet access log
             pass
@@ -214,6 +233,11 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     if args.artifact:
+        if args.opts:
+            raise SystemExit(
+                "KEY VALUE overrides don't apply to a serialized artifact "
+                f"(got {args.opts}); re-export with the desired config"
+            )
         service = DetectorService.from_artifact(args.artifact)
     elif args.config_file:
         from dafne_tpu.config import load_config
