@@ -55,10 +55,14 @@ def test_serve_http_roundtrip(tmp_path):
     try:
         conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
 
+        # this service loaded no checkpoint: /healthz must be machine-
+        # checkably unhealthy (503 + ok=false + untrained_weights=true)
+        # so a probe catches a typo'd OUTPUT_DIR deployment
         conn.request("GET", "/healthz")
         r = conn.getresponse()
         health = json.loads(r.read())
-        assert r.status == 200 and health["ok"]
+        assert r.status == 503 and not health["ok"]
+        assert health["untrained_weights"] is True
         assert health["canvas"] == list(service.pad_hw)
 
         # image smaller than the canvas -> resize + scale_xy path
@@ -85,7 +89,57 @@ def test_serve_http_roundtrip(tmp_path):
         assert r.status == 400
         assert "error" in json.loads(r.read())
 
+        # zero-sized image is CLIENT error (400), not a 500 runtime fault
+        buf = io.BytesIO()
+        np.save(buf, np.zeros((0, 10, 3), np.uint8))
+        conn.request("POST", "/detect", body=buf.getvalue())
+        r = conn.getresponse()
+        assert r.status == 400
+        assert "error" in json.loads(r.read())
+
         conn.request("GET", "/healthz")
-        assert conn.getresponse().status == 200
+        assert conn.getresponse().status == 503  # still the untrained svc
     finally:
         srv.shutdown()
+
+
+def test_serve_preprocess_matches_eval_mapper(tmp_path):
+    """The serving preprocessing (resize + canvas + scale_xy) must be
+    BIT-identical to the eval DatasetMapper — the mAP-certified pipeline.
+    Catches dtype-order drift (float-resize-then-truncate vs the mapper's
+    uint8 cv2 fixed-point resize) and resize-math duplication."""
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+        ),
+    )
+    from serve import DetectorService
+
+    from dafne_tpu.data.mapper import (
+        DatasetMapper,
+        eval_preprocess_meta,
+        pad_target_hw,
+    )
+
+    cfg = _tiny_cfg(tmp_path)
+    pad_hw = pad_target_hw(cfg, train=False)
+    service = DetectorService(
+        call_fn=None,  # preprocess only — never called
+        batch=1,
+        pad_hw=pad_hw,
+        meta=dict(eval_preprocess_meta(cfg), checkpoint_step=0),
+    )
+    mapper = DatasetMapper(cfg, train=False, pad_hw=pad_hw)
+    rng = np.random.RandomState(7)
+    for hw in [(97, 123), (256, 77), (300, 300)]:
+        img = rng.randint(0, 256, hw + (3,), np.uint8)
+        record = {"image": img, "image_id": "x", "annotations": []}
+        ex = mapper(record)
+        images, scale = service.preprocess(img)
+        assert np.array_equal(images[0], ex["image"].astype(np.float32)), hw
+        assert np.array_equal(scale[0], ex["scale_xy"]), hw
+        # float input pixels take the same uint8-first path
+        images_f, _ = service.preprocess(img.astype(np.float32))
+        assert np.array_equal(images_f, images), hw

@@ -72,6 +72,7 @@ def build_exported(cfg, batch: int, weights_as_args: bool):
         "pad_hw": list(pad_hw),
         "batch": batch,
         "checkpoint_step": int(step),
+        "weights": cfg.MODEL.WEIGHTS,  # serve.py: untrained detection
         "weights_as_args": weights_as_args,
         "platforms": list(exported.platforms),
         "output_keys": ["corners", "hboxes", "scores", "classes",

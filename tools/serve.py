@@ -14,17 +14,21 @@ Usage:
       OUTPUT_DIR runs/exp1 [--port 8321]    # live mode, loads checkpoint
 
 API:
-  GET  /healthz          -> {"ok": true, "canvas": [H, W], "batch": N}
+  GET  /healthz          -> 200 {"ok": true, "canvas": [H, W], "batch": N}
+                         (503 + "ok": false + "untrained_weights": true
+                         when no trained weights were loaded)
   POST /detect           body: .npy bytes of an HxWx3 uint8/float image
                          (channel order = the recipe's INPUT.FORMAT, BGR
                          in every shipped config)
                          -> {"detections": [{"corners": [8 floats, original
                             coords], "hbox": [4], "score": s, "class": c}]}
 
-Preprocessing reproduces the eval mapper exactly: d2 shortest-edge resize
-(or fixed resize per INPUT.RESIZE_TYPE), top-left placement on the static
-canvas, detections rescaled to original coordinates by the same
-scale_xy = (w/rw, h/rh) the evaluator uses (data/mapper.py).
+Preprocessing reproduces the eval mapper exactly: the SAME AffineAug
+resize (transforms.build_test_augmentation semantics) applied to the
+uint8 image (cv2 fixed-point rounding, like the mapper's on-disk path),
+top-left placement on the static canvas, detections rescaled to original
+coordinates by the same scale_xy = (w/rw, h/rh) the evaluator uses
+(data/mapper.py).
 """
 
 import argparse
@@ -40,21 +44,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def _resize_hw(h, w, meta):
-    """New (rh, rw) per the recipe's eval resize rule (transforms.py)."""
+def _test_aug(h, w, meta):
+    """The recipe's eval resize as an AffineAug — the SAME code path the
+    eval mapper runs (transforms.build_test_augmentation body), driven by
+    the export metadata so artifact mode needs no config object.  Any
+    future resize-semantics change in transforms.py flows through here
+    automatically instead of silently desyncing serving from eval."""
+    from dafne_tpu.data import transforms as T
+
     if meta.get("resize_type", "shortest-edge") == "shortest-edge":
-        size = float(meta["min_size_test"])
-        scale = size / min(h, w)
-        if h < w:
-            nh, nw = size, scale * w
-        else:
-            nh, nw = scale * h, size
-        mx = float(meta["max_size_test"])
-        if max(nh, nw) > mx:
-            s2 = mx / max(nh, nw)
-            nh, nw = nh * s2, nw * s2
-        return int(nh + 0.5), int(nw + 0.5)
-    return int(meta["resize_height_test"]), int(meta["resize_width_test"])
+        return T.shortest_edge_resize(
+            w, h, meta["min_size_test"], meta["max_size_test"]
+        )
+    return T.resize(
+        w, h, meta["resize_width_test"], meta["resize_height_test"]
+    )
 
 
 class DetectorService:
@@ -65,6 +69,13 @@ class DetectorService:
         self.batch = int(batch)
         self.pad_hw = tuple(pad_hw)
         self.meta = meta
+        # machine-checkable deployment health: a checkpoint_step of 0 with
+        # no MODEL.WEIGHTS means nothing trained was ever loaded — /healthz
+        # reports ok=false so probes/load-balancers catch a typo'd
+        # OUTPUT_DIR instead of routing traffic to random weights
+        self.untrained = (
+            meta.get("checkpoint_step") == 0 and not meta.get("weights")
+        )
         self._lock = threading.Lock()  # single-flight: one chip, one program
 
     @classmethod
@@ -79,6 +90,16 @@ class DetectorService:
             raise SystemExit(
                 "weights-as-args artifacts need the param tree; export "
                 "without --weights-as-args for serving"
+            )
+        if int(meta.get("batch", 1)) > 1:
+            # one image per request: a batch-N artifact zero-pads N-1
+            # canvases every call (~Nx compute/latency per request)
+            print(
+                f"WARNING: artifact batch is {meta['batch']}; every "
+                "single-image request pays the full batch's compute — "
+                "re-export with `tools/export_model.py --batch 1` for "
+                "serving",
+                file=sys.stderr, flush=True,
             )
         return cls(
             lambda images, scale: exported.call(images, scale),
@@ -104,18 +125,25 @@ class DetectorService:
             state, cfg, resume=True
         )
         if not ckpt_step and not cfg.MODEL.WEIGHTS:
-            # fail loudly: a typo'd OUTPUT_DIR would otherwise serve
-            # random weights with 200 OK on every request
+            # a typo'd OUTPUT_DIR would otherwise serve random weights;
+            # warn here AND report ok=false on /healthz (machine-checkable
+            # — see DetectorService.untrained) so a probe catches it even
+            # when a supervisor swallows stderr
             print(
                 f"WARNING: no checkpoint under {cfg.OUTPUT_DIR} and "
-                "MODEL.WEIGHTS is empty — serving UNTRAINED weights",
+                "MODEL.WEIGHTS is empty — serving UNTRAINED weights "
+                "(/healthz will report ok=false)",
                 file=sys.stderr, flush=True,
             )
         # one image per request: serve at batch 1, not TPU.EVAL_BATCH —
         # zero-padding a 16-wide eval batch would cost ~16x per request
         step = jax.jit(make_eval_step(model, cfg, pad_hw))
         params, bs = state.params, state.batch_stats
-        meta = dict(eval_preprocess_meta(cfg), checkpoint_step=int(ckpt_step))
+        meta = dict(
+            eval_preprocess_meta(cfg),
+            checkpoint_step=int(ckpt_step),
+            weights=cfg.MODEL.WEIGHTS,
+        )
         return cls(
             lambda images, scale: step(params, images, scale, bs),
             1,
@@ -123,31 +151,40 @@ class DetectorService:
             meta,
         )
 
+    def preprocess(self, img: np.ndarray):
+        """(images [B,ph,pw,3] f32, scale [B,2] f32) for one HxWx3 image —
+        bit-identical to the eval mapper's canvas + scale_xy
+        (tests/test_serve.py asserts this against DatasetMapper)."""
+        if img.ndim != 3 or img.shape[-1] != 3:
+            raise ValueError(f"expected HxWx3, got {img.shape}")
+        h, w = img.shape[:2]
+        if h == 0 or w == 0:
+            raise ValueError(f"zero-sized image: {img.shape}")
+        # mapper-exact: the mapper reads uint8 from disk and resizes the
+        # uint8 image directly (cv2 fixed-point, round-to-nearest —
+        # transforms.AffineAug._axis_aligned_fast); float client pixels are
+        # converted FIRST so the resize sees the same dtype as eval
+        if img.dtype != np.uint8:
+            img = np.clip(img, 0, 255).astype(np.uint8)
+        aug = _test_aug(h, w, self.meta)
+        resized = aug.apply_image(img)
+        rh, rw = resized.shape[:2]
+        ph, pw = self.pad_hw
+        images = np.zeros((self.batch, ph, pw, 3), np.float32)
+        # canvas crop + full-resized-dims scale, exactly like the mapper's
+        # oversize path (data/mapper.py)
+        images[0, : min(rh, ph), : min(rw, pw)] = resized[:ph, :pw]
+        scale = np.ones((self.batch, 2), np.float32)
+        scale[0] = [w / rw, h / rh]
+        return images, scale
+
     def detect(self, img: np.ndarray):
         """HxWx3 image in the recipe channel order (`meta['input_format']`,
         BGR in every shipped config), pixel range 0-255 (uint8 or float) —
         the range the model was trained on; [0,1]-normalized floats will
         produce garbage.  Returns detection dicts in ORIGINAL image
         coordinates."""
-        import cv2
-
-        if img.ndim != 3 or img.shape[-1] != 3:
-            raise ValueError(f"expected HxWx3, got {img.shape}")
-        h, w = img.shape[:2]
-        rh, rw = _resize_hw(h, w, self.meta)
-        ph, pw = self.pad_hw
-        rh, rw = min(rh, ph), min(rw, pw)
-        # resize in float like the mapper (uint8 conversion happens AFTER
-        # resize there, data/mapper.py); the model normalizes on-chip
-        resized = cv2.resize(
-            np.asarray(img, np.float32), (rw, rh),
-            interpolation=cv2.INTER_LINEAR,
-        )
-        images = np.zeros((self.batch, ph, pw, 3), np.float32)
-        # mapper-exact: uint8 truncation AFTER resize (data/mapper.py)
-        images[0, :rh, :rw] = np.clip(resized, 0, 255).astype(np.uint8)
-        scale = np.ones((self.batch, 2), np.float32)
-        scale[0] = [w / rw, h / rh]
+        images, scale = self.preprocess(img)
 
         with self._lock:
             out = self._call(images, scale)
@@ -181,8 +218,12 @@ def make_server(service: DetectorService, host="127.0.0.1", port=8321):
 
         def do_GET(self):
             if self.path == "/healthz":
-                self._json(200, {
-                    "ok": True,
+                # 503 + ok=false when nothing trained was loaded: a probe
+                # must be able to distinguish a typo'd OUTPUT_DIR (random
+                # weights) from a healthy deployment without reading stderr
+                self._json(503 if service.untrained else 200, {
+                    "ok": not service.untrained,
+                    "untrained_weights": service.untrained,
                     "canvas": list(service.pad_hw),
                     "batch": service.batch,
                     "input_format": service.meta.get("input_format", "BGR"),
