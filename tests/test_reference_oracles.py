@@ -58,12 +58,12 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-@pytest.fixture(scope="module")
-def ref_iou_batch():
+def build_ref_iou_batch():
     """Compile the unmodified reference polyiou.cpp + wrapper; return a
-    batched callable [N,8],[N,8] -> [N] float64."""
+    batched callable [N,8],[N,8] -> [N] float64 (None when the reference
+    source is absent).  Shared with test_reference_eval_oracles.py."""
     if not os.path.exists(REF_POLYIOU):
-        pytest.skip("reference polyiou.cpp not present")
+        return None
     tag = hashlib.sha1(
         open(REF_POLYIOU, "rb").read() + open(_WRAPPER, "rb").read()
     ).hexdigest()[:12]
@@ -94,15 +94,31 @@ def ref_iou_batch():
     return batch
 
 
-@pytest.fixture(scope="module")
-def ref_sort_module():
-    """Import the reference's sort_corners.py directly (torch-only module)."""
+def load_ref_sort_module():
+    """Import the reference's sort_corners.py directly (torch-only module);
+    None when absent."""
     if not os.path.exists(REF_SORT):
-        pytest.skip("reference sort_corners.py not present")
-    pytest.importorskip("torch")
+        return None
     spec = importlib.util.spec_from_file_location("ref_sort_corners", REF_SORT)
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def ref_iou_batch():
+    batch = build_ref_iou_batch()
+    if batch is None:
+        pytest.skip("reference polyiou.cpp not present")
+    return batch
+
+
+@pytest.fixture(scope="module")
+def ref_sort_module():
+    pytest.importorskip("torch")
+    mod = load_ref_sort_module()
+    if mod is None:
+        pytest.skip("reference sort_corners.py not present")
     return mod
 
 
