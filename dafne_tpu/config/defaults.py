@@ -245,7 +245,12 @@ def build_defaults() -> CfgNode:
     t.EVAL_BATCH = 16  # eval images per step; 16 is the measured v5e
     # throughput knee (171 img/s @8 vs 181 @16 at 1024**2, bench.py)
     t.ASSIGN_IMPL = "auto"  # "auto" | "pallas" | "xla" target assignment
-    t.DECODE_APPROX_TOPK = True  # lax.approx_max_k (recall 0.99) in decode
+    t.DECODE_APPROX_TOPK = False  # True: lax.approx_max_k (recall 0.99) in
+    # decode.  Exact is the default since the radix-select top-k with
+    # scatter-free compaction (ops/topk.py) closed the gap: isolated decode
+    # chain 9.7 ms exact vs 11.4 approx; full eval program +1.3 ms (+2.9%,
+    # 45.5 vs 44.2 @batch 8) — under the <5% bar, so the reference-exact
+    # candidate set wins the default (accuracy-first, like NMS_MAX_CANDIDATES).
     t.IMAGE_SIZE_DIVISIBILITY = 128  # pad H, W to multiples (P7 stride)
     t.PREFETCH_DEPTH = 2  # host->device prefetch buffer
     t.DONATE_STATE = True  # donate train state buffers in the jitted step

@@ -46,7 +46,10 @@ class DecodeSpec:
     nms_group_candidates: int = 0  # >0: per-class-group NMS (see ops/nms.py
     # rotated_nms_grouped); 0 = global-cap path via nms_max_candidates
     class_merge: Tuple[Tuple[int, int], ...] = ((5, 4),)
-    approx_topk: bool = True  # lax.approx_max_k for the per-level top-k
+    approx_topk: bool = False  # True: lax.approx_max_k for the top-k stages;
+    # default is EXACT top-k (ops/topk.py radix select + scatter-free
+    # compaction): +2.9% full-program eval cost vs approx — under the <5%
+    # bar, so the reference-exact candidate set is the default
 
     @classmethod
     def from_config(cls, cfg, train: bool = False) -> "DecodeSpec":
@@ -65,7 +68,7 @@ class DecodeSpec:
             stride_norm=d.ENABLE_FPN_STRIDE_NORM,
             nms_max_candidates=cfg.TPU.NMS_MAX_CANDIDATES,
             nms_group_candidates=cfg.TPU.get("NMS_GROUP_CANDIDATES", 0),
-            approx_topk=cfg.TPU.get("DECODE_APPROX_TOPK", True),
+            approx_topk=cfg.TPU.get("DECODE_APPROX_TOPK", False),
         )
 
 
@@ -100,16 +103,17 @@ def decode_single_level(
 
     flat_scores = jnp.where(candidate, cls_prob, 0.0).reshape(n, hw * c)
     if spec.approx_topk and hw * c > 4 * k:
-        # TPU-optimized partitioned top-k (recall >= 0.99 of the true set;
-        # the post-NMS top-1000 cushions the tail). Exact path via
-        # TPU.DECODE_APPROX_TOPK False.
+        # opt-in partitioned top-k (recall >= 0.99 of the true set; the
+        # post-NMS top-1000 cushions the tail) via TPU.DECODE_APPROX_TOPK.
         top_scores, top_idx = jax.lax.approx_max_k(
             flat_scores, k, recall_target=0.99
         )
     elif hw * c > 4 * k:
-        # exact WITHOUT the degenerate variadic sort: bitwise-bisection
-        # set selection (ops/topk.py); candidate order is index-ascending,
-        # which decode never depends on (NMS re-sorts internally)
+        # DEFAULT: exact reference top-k set WITHOUT the degenerate variadic
+        # sort — radix-select + scatter-free compaction (ops/topk.py),
+        # ~approx_max_k cost at these shapes; candidate order is
+        # index-ascending, which decode never depends on (NMS re-sorts
+        # internally)
         top_scores, top_idx = exact_topk_set(flat_scores, k)
     else:
         top_scores, top_idx = jax.lax.top_k(flat_scores, k)  # [N, k]
@@ -192,13 +196,14 @@ def decode_detections(
     else:
         m = min(spec.nms_max_candidates, total) if spec.nms_max_candidates > 0 else total
         if spec.approx_topk and m < total and total > 2048:
-            # exact top_k with k ~ n/2 degenerates into a full variadic sort
-            # on TPU (~20 ms/batch at m=4096 of 9856); approx_max_k stays
-            # fast and its <1% recall loss sits in the same tail the
-            # per-level approx top-k already accepts (measured mAP-neutral
+            # opt-in approx_max_k (recall 0.99); its <1% recall loss sits in
+            # the tail the post-NMS top-1000 cushions (measured mAP-neutral
             # in the study)
             top_scores, top_idx = jax.lax.approx_max_k(masked, m, recall_target=0.99)
         elif m < total and total > 2048:
+            # DEFAULT: exact set selection; lax.top_k with k ~ n/2 would
+            # degenerate into a full variadic sort (~20 ms/batch at m=4096
+            # of 9856), exact_topk_set does it in ~2 ms
             top_scores, top_idx = exact_topk_set(masked, m)
         else:
             top_scores, top_idx = jax.lax.top_k(masked, m)

@@ -3,16 +3,27 @@
 The reference decode takes exact per-level top-k (dafne_outputs.py:824-858,
 torch.topk).  On TPU, `jax.lax.top_k` with k ~ n/2 of ~10k, or k=2000 of
 ~250k, lowers to a full variadic sort — the degenerate case (measured
-~20 ms/batch, PROFILE_TRAIN.json round 2), which is why the decode shipped
-with `lax.approx_max_k` (recall 0.99) instead.  This module provides an
-EXACT alternative with TPU-friendly primitives only:
+~20 ms/batch, PROFILE_TRAIN.json round 2), which is why the decode
+originally shipped with `lax.approx_max_k` (recall 0.99).  This module
+provides the EXACT top-k that is now the decode DEFAULT — isolated decode
+chain 9.7 ms vs approx's 11.4; +1.3 ms (+2.9%) in the full eval program
+(PROFILE_TRAIN.json round 3) — with TPU-friendly primitives only:
 
   1. bitcast the non-negative f32 scores to int32 (order-isomorphic),
-  2. binary-search the k-th largest bit pattern: 31 fixed iterations of
-     (compare + row-sum) — pure elementwise/reduce work, no sort,
+  2. radix-select the k-th largest bit pattern: 8 rounds over 4-bit digits
+     (MSB first), each one fused 16-bin histogram (compare + row-sum) —
+     pure elementwise/reduce work, no sort.  This replaced a 31-iteration
+     bitwise bisection: the search is latency-bound (every step is a tiny
+     reduce with a sequential dependency), so cutting the depth 31 -> 8
+     is the win; the per-round histogram does 16 masked compares instead
+     of 1, which is still bandwidth-trivial next to the model,
   3. select `score > v_k` plus the first (k - count) ties in index order
      (exactly `lax.top_k`'s stable tie-break set),
-  4. compact selected indices into k slots via cumsum + one scatter.
+  4. compact selected indices into k slots scatter-free: per-block cumsums
+     locate the j-th selected element with two tiny counting reductions and
+     one contiguous block gather.  (A [b,n]->[b,k] scatter here measured
+     10 ms at the P3 decode shape — tools/topk_microbench.py — because TPU
+     scatter serializes; the hierarchical compaction is ~0.3 ms.)
 
 The returned SET equals `jax.lax.top_k`'s exactly; the returned ORDER is
 ascending-index rather than descending-score.  Decode does not depend on
@@ -53,37 +64,71 @@ def exact_topk_set(scores: jnp.ndarray, k: int):
     b = s.shape[0]
     bits = jax.lax.bitcast_convert_type(s, jnp.int32)  # >=0 floats: monotonic
 
-    # smallest t with count(bits > t) < k  ==  k-th largest bit pattern
-    def body(_, lohi):
-        lo, hi = lohi
-        # overflow-safe midpoint: lo + hi wraps int32 once hi reaches the
-        # bit patterns of scores >= 2.0 (0x40000000+)
-        mid = lo + ((hi - lo) >> 1)
-        cnt = jnp.sum(bits > mid[:, None], axis=1)
-        go_low = cnt < k
-        return (jnp.where(go_low, lo, mid + 1), jnp.where(go_low, mid, hi))
-
-    lo = jnp.zeros((b,), jnp.int32)
-    hi = jnp.full((b,), jnp.int32(2**31 - 1))
-    lo, hi = jax.lax.fori_loop(0, 31, body, (lo, hi))
-    vk = lo[:, None]  # [b, 1] k-th largest bit pattern per row
+    # Radix-select the k-th largest bit pattern, one 4-bit digit per round
+    # (MSB first).  Invariants entering each round: `prefix` holds the
+    # already-fixed high digits (low digits zero), `need` is the rank of
+    # the target within the active set {bits whose high digits == prefix},
+    # and 1 <= need <= |active|.  An element is active with current digit j
+    # iff (bits >> shift) == (prefix >> shift) + j, which folds the active
+    # test and the digit compare into one equality.
+    prefix = jnp.zeros((b,), jnp.int32)
+    need = jnp.full((b,), k, jnp.int32)
+    digits = jnp.arange(16, dtype=jnp.int32)
+    for shift in range(28, -1, -4):
+        want = (prefix >> shift)[:, None] + digits  # [b, 16]
+        hist = jnp.sum(
+            (bits >> shift)[:, None, :] == want[:, :, None], axis=2
+        )  # [b, 16]: active-element count per candidate digit
+        cum = jnp.cumsum(hist, axis=1)  # inclusive, digit-ascending
+        total = cum[:, -1:]
+        cnt_ge = total - cum + hist  # [b, 16]: actives with digit >= j
+        # target digit = max j with cnt_ge[j] >= need; cnt_ge is
+        # non-increasing in j so the comparison mask is a prefix of ones
+        j_star = jnp.sum((cnt_ge >= need[:, None]).astype(jnp.int32), axis=1) - 1
+        # actives with digit > j_star (== cnt_ge[j_star + 1], gathered
+        # tiny-minor-dim-free via a one-hot sum)
+        one_hot = digits[None, :] == j_star[:, None]
+        cnt_gt = jnp.sum(jnp.where(one_hot, total - cum, 0), axis=1)
+        prefix = prefix | (j_star << shift)
+        need = need - cnt_gt
+    vk = prefix[:, None]  # [b, 1] k-th largest bit pattern per row
 
     above = bits > vk
     c_above = jnp.sum(above, axis=1, keepdims=True)  # < k by construction
     ties = bits == vk
-    tie_rank = jnp.cumsum(ties.astype(jnp.int32), axis=1)  # 1-based
-    selected = above | (ties & (tie_rank <= (k - c_above)))
 
-    # compact to k slots in index order: one scatter with unique positions
-    pos = jnp.cumsum(selected.astype(jnp.int32), axis=1) - 1  # [b, n]
-    pos = jnp.where(selected, pos, k)  # k = dropped
-    idx_out = jnp.zeros((b, k), jnp.int32)
-    row = jnp.broadcast_to(jnp.arange(b)[:, None], (b, n))
-    # NOTE: no unique_indices promise — every non-selected entry shares the
-    # dropped position k, and promising uniqueness there is UB territory
-    idx_out = idx_out.at[row, pos].set(
-        jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (b, n)),
-        mode="drop",
-    )
+    # Exactly k entries are selected per row (vk is the k-th largest
+    # pattern, zeros included): everything above vk plus the first
+    # (k - c_above) ties in index order.  Compact their indices into k
+    # slots hierarchically over 512-wide blocks — cumsums stay short and
+    # minor-axis local, and the per-row compaction needs no scatter.
+    blk = 512
+    pad = -n % blk
+    if pad:
+        zpad = ((0, 0), (0, pad))
+        above = jnp.pad(above, zpad)
+        ties = jnp.pad(ties, zpad)
+    nb = (n + pad) // blk
+    t3 = ties.reshape(b, nb, blk)
+    tie_local = jnp.cumsum(t3.astype(jnp.int32), axis=2)  # 1-based in block
+    tie_blk = tie_local[:, :, -1]
+    tie_off = jnp.cumsum(tie_blk, axis=1) - tie_blk  # exclusive block offset
+    tie_rank = (tie_local + tie_off[:, :, None]).reshape(b, nb * blk)
+    selected = above | (ties.reshape(b, nb * blk) & (tie_rank <= (k - c_above)))
+
+    s3 = selected.reshape(b, nb, blk)
+    loc_cum = jnp.cumsum(s3.astype(jnp.int32), axis=2)  # [b, nb, blk]
+    blk_cnt = loc_cum[:, :, -1]
+    blk_end = jnp.cumsum(blk_cnt, axis=1)  # selected count through block m
+    j1 = jnp.arange(1, k + 1, dtype=jnp.int32)  # target ranks, 1-based
+    # block holding the j-th selected element = first m with blk_end >= j
+    blk_of = jnp.sum(
+        (blk_end[:, None, :] < j1[None, :, None]).astype(jnp.int32), axis=2
+    )  # [b, k], < nb since every row selects exactly k
+    blk_start = blk_end - blk_cnt
+    r = j1[None, :] - jnp.take_along_axis(blk_start, blk_of, axis=1)  # [b, k]
+    rows = jnp.take_along_axis(loc_cum, blk_of[:, :, None], axis=1)  # [b,k,blk]
+    in_blk = jnp.sum((rows < r[:, :, None]).astype(jnp.int32), axis=2)
+    idx_out = blk_of * blk + in_blk  # ascending (j-th selected, in order)
     val_out = jnp.take_along_axis(s, idx_out, axis=1)
     return val_out.reshape(lead + (k,)), idx_out.reshape(lead + (k,))

@@ -95,3 +95,19 @@ def test_jit_and_grad_free_path():
     v1, i1 = jax.jit(lambda x: exact_topk_set(x, 99))(s)
     v2, i2 = exact_topk_set(s, 99)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_bitlevel_fuzz_all_digits():
+    # radix-specific adversary: random POSITIVE f32 bit patterns (uniform
+    # over the full 31-bit space, so every 4-bit digit round carries
+    # information), plus rows sharing the top 28 bits so the selection is
+    # decided only in the last round, with exact ties at the k-th value
+    rng = np.random.default_rng(6)
+    raw = rng.integers(1, 2**31, (6, 700), dtype=np.int64).astype(np.int32)
+    s = raw.view(np.float32)
+    s = np.where(np.isnan(s), np.float32(0.0), s)  # contract: non-NaN
+    _sets_match(s, 333)
+    base = np.int32(0x3F7F0000)  # shared high digits
+    tail = rng.integers(0, 16, (4, 600), dtype=np.int64).astype(np.int32)
+    s2 = (base | tail).view(np.float32)
+    _sets_match(s2, 123)

@@ -81,7 +81,10 @@ def test_decode_thresh_with_ctr_and_no_centerness():
     )
     assert int(np.asarray(out2["valid"]).sum()) == 1
     want = np.sqrt((1 / (1 + np.exp(-2.0))) * (1 / (1 + np.exp(8.0))))
-    assert float(out2["scores"][0, 0]) == pytest.approx(want, rel=1e-3)
+    # slot order is top-k-implementation-defined (exact_topk_set returns
+    # ascending-index order, lax.top_k descending-score); locate by mask
+    got = float(np.asarray(out2["scores"])[np.asarray(out2["valid"])][0])
+    assert got == pytest.approx(want, rel=1e-3)
 
     # centerness "none": raw cls prob is the score
     spec3 = DecodeSpec(
@@ -93,7 +96,7 @@ def test_decode_thresh_with_ctr_and_no_centerness():
         jnp.asarray(logits), jnp.asarray(corners), jnp.asarray(ones),
         locs, stride, spec3,
     )
-    assert float(out3["scores"][0, 0]) == pytest.approx(
+    assert float(np.asarray(out3["scores"]).max()) == pytest.approx(
         1 / (1 + np.exp(-2.0)), rel=1e-3
     )
 
