@@ -292,6 +292,45 @@ def check_nms_shipped_scale(rng, results):
     )
 
 
+def check_topk_exact(rng, results):
+    """On-chip set equality of the radix-select exact top-k (ops/topk.py)
+    vs lax.top_k at the two REAL decode shapes: per-level P3 (k=2000 of
+    245760, batch 8) and the global cap (k=4096 of 9856, batch 16), with
+    decode-realistic sparsity (mostly zeros), heavy ties, and a row with
+    fewer positives than k.  CPU tests prove the math; this proves the
+    TPU lowering (fusion choices differ on-chip)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dafne_tpu.ops.topk import exact_topk_set
+
+    out = {}
+    for name, b, n, k in (("p3", 8, 245760, 2000), ("global", 16, 9856, 4096)):
+        s = rng.uniform(0, 1, (b, n)).astype(np.float32)
+        s[s < 0.9] = 0.0  # thresholded-score sparsity
+        s[1] = np.round(s[1] * 8) / 8  # heavy exact ties
+        s[2] = 0.0
+        s[2, :7] = 0.5  # fewer positives than k
+        sj = jnp.asarray(s)
+        v_ref, i_ref = jax.jit(lambda x: jax.lax.top_k(x, k))(sj)
+        v_got, i_got = jax.jit(lambda x: exact_topk_set(x, k))(sj)
+        i_ref, i_got = np.asarray(i_ref), np.asarray(i_got)
+        v_ref, v_got = np.asarray(v_ref), np.asarray(v_got)
+        set_mism = sum(
+            len(set(i_ref[r]) ^ set(i_got[r])) for r in range(b)
+        )
+        val_mism = int(
+            (np.sort(v_ref, axis=1) != np.sort(v_got, axis=1)).sum()
+        )
+        out[name] = {
+            "b": b, "n": n, "k": k,
+            "index_set_mismatches": set_mism,
+            "value_multiset_mismatches": val_mism,
+        }
+        assert set_mism == 0 and val_mism == 0, out
+    results["topk_exact"] = out
+
+
 def check_nms_grouped(rng, results):
     """rotated_nms_grouped on-chip (VERDICT r2 #4): Pallas == XLA keep-set
     at n=4096/group_k=512, and exact equality with global rotated_nms in
@@ -358,6 +397,7 @@ def main():
     check_assign(rng, results)
     check_nms_end_to_end(rng, results)
     check_nms_shipped_scale(rng, results)
+    check_topk_exact(rng, results)
     check_nms_grouped(rng, results)
     results["elapsed_s"] = round(time.perf_counter() - t0, 1)
     results["ok"] = True
