@@ -15,9 +15,15 @@ ablations; pairwise differences localize cost.  Round-3 measurements
 Conclusion: the towers' 12 shared 256->256 3x3 convs over 174k positions
 are ≈7.4 TFLOP fwd+bwd per batch — 37.6 ms at v5e bf16 peak — so the
 measured 44.7 ms is ~85% MFU and near the hardware floor; the whole step
-sits at ~60% MFU dominated by architecture FLOPs, which is why the
-fwd:fwd+bwd ratio (28.1 : 94.8) looked "heavy": the fwd runs at ~63% MFU,
-not the bwd at an anomalously low one.  Remaining levers are architecture
+sits at ~60% MFU dominated by architecture FLOPs.  The round-2 "heavy
+backward" puzzle (fwd:fwd+bwd 28:94.8 = 3.4x) was a MEASUREMENT artifact:
+the fwd-only profiler phase summed just out["logits"], so XLA dead-code-
+eliminated the corners/center towers (8 of 12 tower convs).  The honest
+full fwd is 38.7 ms (all outputs consumed) — ratio 94.8/38.7 = 2.4x,
+textbook.  Within the fwd, the towers run at ~125 TF/s (~64% MFU) and the
+backbone+FPN ~22 ms is HBM-bandwidth-bound (~40 TF/s; its activation
+traffic floor, which is exactly why static-int8 — halving activation
+bytes — takes ~10 ms off eval e2e).  Remaining levers are architecture
 changes (fewer tower convs — a parity deviation), not scheduling.
 
 Run: python tools/ablate_train_step.py   (real chip, ~20 min first compile)

@@ -132,10 +132,22 @@ def main():
     cfg = flagship_cfg()
     model, params = build(cfg)
 
+    def _consume_all(out):
+        # EVERY head output must feed the result: summing only out["logits"]
+        # lets XLA dead-code-eliminate the corners/center towers (8 of the
+        # 12 tower convs!) — the round-2/3 "model_fwd 28 ms" was exactly
+        # that artifact (true full fwd ≈ 38.5 ms), which also manufactured
+        # the "heavy backward" puzzle (94.8/28 = 3.4x; honest ratio 2.5x)
+        tot = sum(jnp.sum(o) for o in out["logits"])
+        tot += sum(jnp.sum(o) for o in out["corners"])
+        tot += sum(jnp.sum(o) for o in out["ctrness"])
+        tot += sum(jnp.sum(o) for o in out["center"] if o is not None)
+        return tot.astype(jnp.float32)
+
     if "model_fwd" in phases:
         def fwd(carry, params, image):
             out = model.apply({"params": params}, image + carry * 0.0)
-            return sum(jnp.sum(o) for o in out["logits"]).astype(jnp.float32)
+            return _consume_all(out)
 
         ms = timed_chain(jax.jit(fwd), params, batch["image"])
         results["model_fwd_ms"] = round(ms, 1)
@@ -367,9 +379,7 @@ def main():
             def fwd_q(carry, params, image, _m=min_ch):
                 with quantized_eval_scope(enabled=True, min_channels=_m):
                     out = model.apply({"params": params}, image + carry * 0.0)
-                return sum(jnp.sum(o) for o in out["logits"]).astype(
-                    jnp.float32
-                )
+                return _consume_all(out)
 
             ab[f"min_ch_{min_ch}"] = round(
                 timed_chain(jax.jit(fwd_q), params, batch["image"]), 1
