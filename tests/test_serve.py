@@ -83,6 +83,19 @@ def test_serve_http_roundtrip(tmp_path):
             # inverse-scaled) original frame, loose bound
             assert all(abs(v) < 4 * 123 for v in d["corners"])
 
+        # encoded-image body (PNG is lossless): must produce the SAME
+        # response as the .npy post of the same pixels — exercises the
+        # cv2 decode + channel-order handling in decode_image_body
+        import cv2
+
+        ok, png = cv2.imencode(".png", img)  # img already BGR-order bytes
+        assert ok
+        conn.request("POST", "/detect", body=png.tobytes())
+        r = conn.getresponse()
+        out_png = json.loads(r.read())
+        assert r.status == 200, out_png
+        assert out_png == out
+
         # error path: garbage body -> 400, server stays alive
         conn.request("POST", "/detect", body=b"not an npy")
         r = conn.getresponse()

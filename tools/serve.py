@@ -19,7 +19,9 @@ API:
                          when no trained weights were loaded)
   POST /detect           body: .npy bytes of an HxWx3 uint8/float image
                          (channel order = the recipe's INPUT.FORMAT, BGR
-                         in every shipped config)
+                         in every shipped config), OR an encoded JPEG/PNG/
+                         BMP file (decoded host-side with cv2; channel
+                         order converted to the recipe's automatically)
                          -> {"detections": [{"corners": [8 floats, original
                             coords], "hbox": [4], "score": s, "class": c}]}
 
@@ -42,6 +44,27 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
+
+
+def decode_image_body(data: bytes, input_format: str = "BGR") -> np.ndarray:
+    """Request body -> HxWx3 array: .npy verbatim, else cv2-decoded image.
+
+    .npy bodies are trusted to already be in the recipe's channel order
+    (the documented API contract).  Encoded files (JPEG/PNG/BMP) decode to
+    BGR via cv2 and are converted to the recipe's INPUT.FORMAT here, so a
+    curl-with-a-photo client never has to know about channel order."""
+    if data[:6] == b"\x93NUMPY":
+        return np.load(io.BytesIO(data), allow_pickle=False)
+    import cv2
+
+    img = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR)
+    if img is None:
+        raise ValueError(
+            "body is neither a .npy array nor a decodable image (JPEG/PNG/BMP)"
+        )
+    if input_format.upper() == "RGB":
+        img = np.ascontiguousarray(img[:, :, ::-1])
+    return img
 
 
 def _test_aug(h, w, meta):
@@ -241,8 +264,10 @@ def make_server(service: DetectorService, host="127.0.0.1", port=8321):
                     return self._json(
                         413, {"error": f"body {n} bytes > {self.MAX_BODY}"}
                     )
-                img = np.load(io.BytesIO(self.rfile.read(n)),
-                              allow_pickle=False)
+                img = decode_image_body(
+                    self.rfile.read(n),
+                    service.meta.get("input_format", "BGR"),
+                )
                 dets = service.detect(np.asarray(img))
                 self._json(200, {"detections": dets})
             except ValueError as e:  # malformed body / wrong shape
