@@ -38,6 +38,43 @@ import jax
 import jax.numpy as jnp
 
 
+def radix_select_kth(bits: jnp.ndarray, k: int) -> jnp.ndarray:
+    """k-th largest bit pattern per row of non-negative int32 `bits` [b, n].
+
+    Radix select, one 4-bit digit per round (MSB first).  Invariants
+    entering each round: `prefix` holds the already-fixed high digits (low
+    digits zero), `need` is the rank of the target within the active set
+    {bits whose high digits == prefix}, and 1 <= need <= |active|.  An
+    element is active with current digit j iff
+    (bits >> shift) == (prefix >> shift) + j, which folds the active test
+    and the digit compare into one equality.  Returns [b, 1].
+
+    Shared by exact_topk_set and tools/topk_microbench.py (the stage
+    attribution must time the SHIPPED search, not a copy)."""
+    b = bits.shape[0]
+    prefix = jnp.zeros((b,), jnp.int32)
+    need = jnp.full((b,), k, jnp.int32)
+    digits = jnp.arange(16, dtype=jnp.int32)
+    for shift in range(28, -1, -4):
+        want = (prefix >> shift)[:, None] + digits  # [b, 16]
+        hist = jnp.sum(
+            (bits >> shift)[:, None, :] == want[:, :, None], axis=2
+        )  # [b, 16]: active-element count per candidate digit
+        cum = jnp.cumsum(hist, axis=1)  # inclusive, digit-ascending
+        total = cum[:, -1:]
+        cnt_ge = total - cum + hist  # [b, 16]: actives with digit >= j
+        # target digit = max j with cnt_ge[j] >= need; cnt_ge is
+        # non-increasing in j so the comparison mask is a prefix of ones
+        j_star = jnp.sum((cnt_ge >= need[:, None]).astype(jnp.int32), axis=1) - 1
+        # actives with digit > j_star (== cnt_ge[j_star + 1], gathered
+        # tiny-minor-dim-free via a one-hot sum)
+        one_hot = digits[None, :] == j_star[:, None]
+        cnt_gt = jnp.sum(jnp.where(one_hot, total - cum, 0), axis=1)
+        prefix = prefix | (j_star << shift)
+        need = need - cnt_gt
+    return prefix[:, None]
+
+
 def exact_topk_set(scores: jnp.ndarray, k: int):
     """Exact top-k selection over the last axis of non-negative scores.
 
@@ -63,35 +100,7 @@ def exact_topk_set(scores: jnp.ndarray, k: int):
     s = scores.reshape(-1, n)
     b = s.shape[0]
     bits = jax.lax.bitcast_convert_type(s, jnp.int32)  # >=0 floats: monotonic
-
-    # Radix-select the k-th largest bit pattern, one 4-bit digit per round
-    # (MSB first).  Invariants entering each round: `prefix` holds the
-    # already-fixed high digits (low digits zero), `need` is the rank of
-    # the target within the active set {bits whose high digits == prefix},
-    # and 1 <= need <= |active|.  An element is active with current digit j
-    # iff (bits >> shift) == (prefix >> shift) + j, which folds the active
-    # test and the digit compare into one equality.
-    prefix = jnp.zeros((b,), jnp.int32)
-    need = jnp.full((b,), k, jnp.int32)
-    digits = jnp.arange(16, dtype=jnp.int32)
-    for shift in range(28, -1, -4):
-        want = (prefix >> shift)[:, None] + digits  # [b, 16]
-        hist = jnp.sum(
-            (bits >> shift)[:, None, :] == want[:, :, None], axis=2
-        )  # [b, 16]: active-element count per candidate digit
-        cum = jnp.cumsum(hist, axis=1)  # inclusive, digit-ascending
-        total = cum[:, -1:]
-        cnt_ge = total - cum + hist  # [b, 16]: actives with digit >= j
-        # target digit = max j with cnt_ge[j] >= need; cnt_ge is
-        # non-increasing in j so the comparison mask is a prefix of ones
-        j_star = jnp.sum((cnt_ge >= need[:, None]).astype(jnp.int32), axis=1) - 1
-        # actives with digit > j_star (== cnt_ge[j_star + 1], gathered
-        # tiny-minor-dim-free via a one-hot sum)
-        one_hot = digits[None, :] == j_star[:, None]
-        cnt_gt = jnp.sum(jnp.where(one_hot, total - cum, 0), axis=1)
-        prefix = prefix | (j_star << shift)
-        need = need - cnt_gt
-    vk = prefix[:, None]  # [b, 1] k-th largest bit pattern per row
+    vk = radix_select_kth(bits, k)  # [b, 1] k-th largest bit pattern per row
 
     above = bits > vk
     c_above = jnp.sum(above, axis=1, keepdims=True)  # < k by construction

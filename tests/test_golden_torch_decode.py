@@ -55,7 +55,7 @@ def _location(loc_idx, level):
     return col * s + s // 2, row * s + s // 2
 
 
-def _make_head_outputs(rng, n_img, n_obj, pre_nms_topk):
+def _make_head_outputs(rng, n_img, n_obj):
     """Synthesize dense head outputs whose above-threshold candidates form
     well-separated objects, each smeared over several locations/levels and
     sometimes several classes (incl. a 4/5 vehicle pair)."""
@@ -242,7 +242,7 @@ def _run_case(oracles, seed, n_obj, pre_nms_topk, post_nms_topk,
               thresh_with_ctr=False, nms_max_candidates=0):
     ref_iou, ref_sort = oracles
     rng = np.random.default_rng(seed)
-    logits, corners, ctrness = _make_head_outputs(rng, 2, n_obj, pre_nms_topk)
+    logits, corners, ctrness = _make_head_outputs(rng, 2, n_obj)
     ref = _reference_decode(
         logits, corners, ctrness, ref_sort, ref_iou,
         pre_nms_topk, post_nms_topk, thresh_with_ctr,

@@ -156,3 +156,27 @@ def test_serve_preprocess_matches_eval_mapper(tmp_path):
         # float input pixels take the same uint8-first path
         images_f, _ = service.preprocess(img.astype(np.float32))
         assert np.array_equal(images_f, images), hw
+
+
+def test_decode_image_body_pixel_cap(monkeypatch):
+    """The decoded-dimension cap turns decompression bombs into 400s."""
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+        ),
+    )
+    import serve
+
+    img = np.zeros((64, 64, 3), np.uint8)
+    buf = io.BytesIO()
+    np.save(buf, img)
+    assert serve.decode_image_body(buf.getvalue()).shape == (64, 64, 3)
+    monkeypatch.setattr(serve, "MAX_IMAGE_PIXELS", 1000)
+    try:
+        serve.decode_image_body(buf.getvalue())
+    except ValueError as e:
+        assert "pixel" in str(e)
+    else:
+        raise AssertionError("oversized image must raise ValueError (-> 400)")

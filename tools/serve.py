@@ -46,6 +46,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+# A few-KB PNG/BMP can declare huge dimensions and make the decoder
+# allocate gigabytes (decompression bomb) — MAX_BODY only bounds the
+# COMPRESSED bytes.  OpenCV checks this env var per imdecode call; 64 MP
+# comfortably covers any real aerial tile while bounding one decode at
+# ~192 MB.  Set before cv2 ever decodes (import happens lazily below).
+os.environ.setdefault("OPENCV_IO_MAX_IMAGE_PIXELS", str(64_000_000))
+MAX_IMAGE_PIXELS = int(os.environ["OPENCV_IO_MAX_IMAGE_PIXELS"])
+
+
 def decode_image_body(data: bytes, input_format: str = "BGR") -> np.ndarray:
     """Request body -> HxWx3 array: .npy verbatim, else cv2-decoded image.
 
@@ -54,16 +63,29 @@ def decode_image_body(data: bytes, input_format: str = "BGR") -> np.ndarray:
     BGR via cv2 and are converted to the recipe's INPUT.FORMAT here, so a
     curl-with-a-photo client never has to know about channel order."""
     if data[:6] == b"\x93NUMPY":
-        return np.load(io.BytesIO(data), allow_pickle=False)
-    import cv2
+        img = np.load(io.BytesIO(data), allow_pickle=False)
+    else:
+        try:
+            import cv2
 
-    img = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR)
-    if img is None:
+            img = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR)
+        except Exception as e:
+            # anything the decoder throws (oversized per the pixel cap,
+            # corrupt streams, missing cv2) is a CLIENT-payload problem ->
+            # ValueError -> HTTP 400, never a 500
+            raise ValueError(f"undecodable image body: {e}")
+        if img is None:
+            raise ValueError(
+                "body is neither a .npy array nor a decodable image "
+                "(JPEG/PNG/BMP)"
+            )
+        if input_format.upper() == "RGB":
+            img = np.ascontiguousarray(img[:, :, ::-1])
+    if img.ndim >= 2 and img.shape[0] * img.shape[1] > MAX_IMAGE_PIXELS:
         raise ValueError(
-            "body is neither a .npy array nor a decodable image (JPEG/PNG/BMP)"
+            f"image {img.shape[0]}x{img.shape[1]} exceeds the "
+            f"{MAX_IMAGE_PIXELS}-pixel serving cap"
         )
-    if input_format.upper() == "RGB":
-        img = np.ascontiguousarray(img[:, :, ::-1])
     return img
 
 

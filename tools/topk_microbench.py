@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from dafne_tpu.ops.topk import radix_select_kth
 from dafne_tpu.utils.platform import setup_compilation_cache
 
 ITERS = 30
@@ -35,25 +36,6 @@ def timed(fn, *args):
         carry = fn(carry, *args)
     float(carry)
     return (time.perf_counter() - t0) / ITERS * 1000.0
-
-
-def radix_vk(bits, k):
-    b = bits.shape[0]
-    prefix = jnp.zeros((b,), jnp.int32)
-    need = jnp.full((b,), k, jnp.int32)
-    digits = jnp.arange(16, dtype=jnp.int32)
-    for shift in range(28, -1, -4):
-        want = (prefix >> shift)[:, None] + digits
-        hist = jnp.sum((bits >> shift)[:, None, :] == want[:, :, None], axis=2)
-        cum = jnp.cumsum(hist, axis=1)
-        total = cum[:, -1:]
-        cnt_ge = total - cum + hist
-        j_star = jnp.sum((cnt_ge >= need[:, None]).astype(jnp.int32), axis=1) - 1
-        one_hot = digits[None, :] == j_star[:, None]
-        cnt_gt = jnp.sum(jnp.where(one_hot, total - cum, 0), axis=1)
-        prefix = prefix | (j_star << shift)
-        need = need - cnt_gt
-    return prefix[:, None]
 
 
 def main():
@@ -76,12 +58,12 @@ def main():
         # 1. search only
         def search_only(x):
             bits = jax.lax.bitcast_convert_type(x, jnp.int32)
-            return radix_vk(bits, k).astype(jnp.float32)
+            return radix_select_kth(bits, k).astype(jnp.float32)
 
         # 2. search + selection mask + cumsum (no scatter)
         def through_cumsum(x):
             bits = jax.lax.bitcast_convert_type(x, jnp.int32)
-            vk = radix_vk(bits, k)
+            vk = radix_select_kth(bits, k)
             above = bits > vk
             c_above = jnp.sum(above, axis=1, keepdims=True)
             ties = bits == vk
