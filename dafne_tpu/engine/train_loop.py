@@ -117,9 +117,17 @@ def do_test(
 
         from dafne_tpu.parallel import shard_batch
 
+        # images over data AND the spatial axis when the mesh has one, same
+        # as the train path (§5.7): halves per-device activation memory on
+        # large eval canvases; exactness vs single-device is pinned by
+        # tests/test_parallel.py::test_eval_step_under_mesh_matches_single_device
+        spatial = "spatial" if "spatial" in mesh.axis_names else None
+
         def to_device(batch):
             d = shard_batch(
-                {"image": batch["image"], "scale_xy": batch["scale_xy"]}, mesh
+                {"image": batch["image"], "scale_xy": batch["scale_xy"]},
+                mesh,
+                spatial_axis=spatial,
             )
             return d["image"], d["scale_xy"]
     else:
