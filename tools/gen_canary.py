@@ -1,0 +1,176 @@
+#!/usr/bin/env python3
+"""Held-out generalization gate (VERDICT r3 item #2).
+
+Every previous trained-accuracy artifact (INT8_CANARY, TTA_CANARY) trains on
+32 images and evaluates the SAME 32 — memorization evidence, which a
+coordinate-space sign error in an augmentation inverse would survive.  This
+tool is the in-container proxy for the real-data parity gate: it trains the
+flagship R-50 architecture (iter-scaled, configs/synthetic/gen.yaml) on a
+2048-scene procedurally generated 6-class oriented dataset and evaluates on
+64 DISJOINT held-out scenes (seed spaces never overlap —
+data/datasets/synthetic.py::load_synthetic_gen), exercising
+aug-inverse/assignment/decode generalization jointly.  Asserts:
+
+  1. held-out val mAP >= 50 (the model generalizes; a systematic geometry
+     error in any aug inverse/assignment/decode stage kills this while
+     leaving overfit gates green),
+  2. TTA mAP >= plain mAP - 0.5 on the HELD-OUT set (multi-scale/flip
+     inverses are consistent beyond the train distribution),
+  3. int8 (dynamic AND calibrated-static) mAP within 1.0 of plain on the
+     held-out set,
+  4. train-slice mAP >= val mAP - 5 sanity (eval protocol itself is not
+     broken on the train distribution).
+
+Writes GEN_CANARY.json (committed per-round artifact).
+Run:  python tools/gen_canary.py            (real chip, ~25-40 min)
+Env:  GEN_CANARY_ITERS (default 2500), DAFNE_PLATFORM=cpu for a slow smoke.
+
+Reference anchor: the debug harness this generalizes
+(/root/reference/tools/run.py:312-320) and the eval protocol
+(/root/reference/dafne/evaluation/voc_eval.py:41-224).
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from dafne_tpu.utils.platform import pin_platform_from_env, setup_compilation_cache
+
+pin_platform_from_env()
+setup_compilation_cache()
+
+
+def main():
+    from dafne_tpu.config import load_config
+    from dafne_tpu.data.registry import register_all_datasets
+    from dafne_tpu.engine.train_loop import do_test, do_train, setup_logging
+    from dafne_tpu.engine.tta import do_test_with_tta
+    from dafne_tpu.models import build_model
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def base_cfg():
+        cfg = load_config(
+            os.path.join(repo, "configs", "synthetic", "gen.yaml"), freeze=False
+        )
+        cfg.SOLVER.MAX_ITER = int(os.environ.get("GEN_CANARY_ITERS", 2500))
+        cfg.SOLVER.STEPS = [int(0.8 * cfg.SOLVER.MAX_ITER)]
+        cfg.SOLVER.CHECKPOINT_PERIOD = 10_000_000  # final save only
+        cfg.OUTPUT_DIR = tempfile.mkdtemp(prefix="gen_canary_")
+        return cfg
+
+    cfg = base_cfg()
+    cfg.freeze()
+    setup_logging(cfg.OUTPUT_DIR)
+    register_all_datasets(cfg)
+    model = build_model(cfg)
+
+    t0 = time.perf_counter()
+    state = do_train(cfg, model)
+    train_s = round(time.perf_counter() - t0, 1)
+
+    def run_eval(**overrides):
+        c = base_cfg()
+        for k, v in overrides.items():
+            node = c
+            parts = k.split(".")
+            for p in parts[:-1]:
+                node = node[p]
+            node[parts[-1]] = v
+        c.freeze()
+        t = time.perf_counter()
+        if c.TEST.AUG.ENABLED:
+            r = do_test_with_tta(
+                c, model, state.params, c.OUTPUT_DIR, batch_stats=state.batch_stats
+            )
+        else:
+            r = do_test(
+                c, model, state.params, c.OUTPUT_DIR, batch_stats=state.batch_stats
+            )
+        (name,) = c.DATASETS.TEST
+        return r[name], round(time.perf_counter() - t, 1)
+
+    # 1. plain eval on the DISJOINT held-out scenes
+    val, val_s = run_eval()
+    # 2. eval protocol sanity on a 64-scene train slice (seen in training)
+    train_slice, _ = run_eval(**{
+        "DATASETS.TEST": ["synthetic_gen_train"],
+        "DEBUG.OVERFIT_NUM_IMAGES": 64,
+    })
+    # 3. TTA on the held-out set (ladder around the train scales + flips)
+    tta, tta_s = run_eval(**{
+        "TEST.AUG.ENABLED": True,
+        "TEST.AUG.MIN_SIZES": [192, 256, 320],
+        "TEST.AUG.MAX_SIZE": 512,
+    })
+    # 4. int8 dynamic on the held-out set
+    int8_dyn, int8_s = run_eval(**{"TPU.EVAL_INT8": True})
+    # 5. int8 static: calibrate on TRAIN images (never on val), eval on val
+    from dafne_tpu.data.grain_loader import build_data_loader
+    from dafne_tpu.data.mapper import eval_pad_hw
+    from dafne_tpu.data.registry import get_dataset
+    from dafne_tpu.layers.quant import calibrate_act_scales, save_act_scales
+    import jax.numpy as jnp
+
+    calib_cfg = base_cfg()
+    calib_cfg.DEBUG.OVERFIT_NUM_IMAGES = 32
+    calib_cfg.freeze()
+    records = get_dataset("synthetic_gen_train", calib_cfg)
+    pad_hw = eval_pad_hw(calib_cfg, records)
+    loader = build_data_loader(
+        calib_cfg, records, batch_size=max(1, int(calib_cfg.TPU.EVAL_BATCH)),
+        train=False, pad_hw=pad_hw,
+    )
+    variables = {"params": state.params}
+    if state.batch_stats is not None:
+        variables["batch_stats"] = state.batch_stats
+    scales = calibrate_act_scales(
+        model, variables,
+        (jnp.asarray(b["image"]) for _, b in zip(range(2), loader)),
+        min_channels=64,
+    )
+    scales_path = os.path.join(cfg.OUTPUT_DIR, "int8_scales.json")
+    save_act_scales(scales_path, scales)
+    int8_sta, _ = run_eval(**{
+        "TPU.EVAL_INT8": True, "TPU.EVAL_INT8_SCALES": scales_path,
+    })
+
+    results = {
+        "iters": cfg.SOLVER.MAX_ITER,
+        "train_images": 2048,
+        "val_images": 64,
+        "train_s": train_s,
+        "train_mAP": round(train_slice["mAP"], 2),
+        "val_mAP": round(val["mAP"], 2),
+        "val_tta_mAP": round(tta["mAP"], 2),
+        "val_int8_mAP": round(int8_dyn["mAP"], 2),
+        "val_int8_static_mAP": round(int8_sta["mAP"], 2),
+        "calibrated_sites": len(scales),
+        "val_eval_s": val_s,
+        "tta_eval_s": tta_s,
+        "int8_eval_s": int8_s,
+        "device": os.environ.get("DAFNE_PLATFORM", "tpu"),
+    }
+    checks = {
+        "val_floor": val["mAP"] >= 50.0,
+        "tta_holds_on_heldout": tta["mAP"] >= val["mAP"] - 0.5,
+        "int8_dyn_within_1": int8_dyn["mAP"] >= val["mAP"] - 1.0,
+        "int8_static_within_1": int8_sta["mAP"] >= val["mAP"] - 1.0,
+        "train_slice_sane": train_slice["mAP"] >= val["mAP"] - 5.0,
+    }
+    results["checks"] = {k: bool(v) for k, v in checks.items()}
+    results["ok"] = bool(all(checks.values()))
+    out = os.path.join(repo, "GEN_CANARY.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results))
+    if not results["ok"]:
+        raise SystemExit(f"generalization canary failed: {results}")
+
+
+if __name__ == "__main__":
+    main()

@@ -63,7 +63,12 @@ GATES = [
         "weights": "dota-1.0-r101-ms.pth",
         "sha256": None,
         "dataset_dirs": ["dota_1_split/val1024", "dota_1_split/val1024/DOTA1_val1024.json"],
-        "eval_dataset": None,
+        # The recipe's DATASETS.TEST is the reference's value-exact
+        # dota_1_test_1024 (unlabeled — the published 76.95 is a DOTA
+        # test-server number).  Local voc_eval needs GT, so the gate
+        # evaluates the labeled val split, matching the reference's own
+        # local-eval flow (dota_evaluation.py val path).
+        "eval_dataset": "dota_1_val_1024",
         "map_published": 76.95,
         "map_window": 0.3,
         "expect_minutes": 240,  # TTA x15 augs over the val split
@@ -163,6 +168,8 @@ def run_eval(gate, weights_path, out_dir):
         "MODEL.WEIGHTS", weights_path,
         "OUTPUT_DIR", out_dir,
     ]
+    if gate.get("eval_dataset"):
+        cmd += ["DATASETS.TEST", f'["{gate["eval_dataset"]}"]']
     log(f"{gate['name']}: eval (expect ~{gate['expect_minutes']} min): {' '.join(cmd)}")
     subprocess.run(cmd, check=True)
     results = _find_results_txt(out_dir)
