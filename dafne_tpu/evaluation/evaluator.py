@@ -199,9 +199,27 @@ class RotatedDetectionEvaluator:
             fig.savefig(os.path.join(out, f"pr_{name}.png"), dpi=100)
             plt.close(fig)
 
-    def render_samples(self, num_images: int = 20, score_thresh: float = 0.3):
-        """Prediction-vs-GT renderings (dota_evaluation.py:231-305): GT in
-        green, predictions colored by class, saved under output_dir/vis."""
+    def render_samples(
+        self,
+        num_images: int = 20,
+        score_thresh: float = 0.3,
+        unmix_centerness: bool = False,
+    ):
+        """Eval-time prediction-vs-GT sample renderings
+        (dota_evaluation.py:231-305): per sampled image a side-by-side
+        [predictions | ground truth] panel — predictions with class-name +
+        score labels, both sides colored by class — saved as
+        ``output_dir/samples/<thresh>/<image>.png``.  Images without
+        annotations are skipped, matching the reference.
+
+        ``unmix_centerness``: the reference divides the centerness factor
+        back out of the displayed scores when CENTERNESS != "none" and
+        CENTERNESS_USE_IN_SCORE is False (score -> score**2 / centerness);
+        this framework's decode emits the composed score only, so the caller
+        passes the flag and the un-mixing uses score**2 (the sqrt(cls*ctr)
+        composition inverted at ctr≈score), keeping the displayed numbers in
+        class-confidence units as the reference intends.
+        """
         if not self.output_dir:
             return []
         try:
@@ -210,14 +228,32 @@ class RotatedDetectionEvaluator:
             return []
         from dafne_tpu.data.mapper import read_image
 
-        out = os.path.join(self.output_dir, "vis")
+        out = os.path.join(self.output_dir, "samples", f"{score_thresh:0.1f}")
         os.makedirs(out, exist_ok=True)
+
+        def class_color(c: int):
+            # deterministic per-class palette (stands in for d2's colormap)
+            return (
+                int(37 * (c + 1) % 255),
+                int(91 * (c + 3) % 255),
+                int(151 * (c + 7) % 255),
+            )
+
+        def draw_label(img, pts, text, color):
+            x, y = int(pts[:, 0].min()), int(pts[:, 1].min()) - 3
+            cv2.putText(
+                img, text, (max(x, 0), max(y, 8)),
+                cv2.FONT_HERSHEY_SIMPLEX, 0.35, color, 1, cv2.LINE_AA,
+            )
+
         by_id = {str(r["image_id"]): r for r in self.records}
         paths = []
-        for image_id in list(self._preds)[:num_images]:
+        for image_id in list(self._preds):
+            if len(paths) >= num_images:
+                break
             rec = by_id.get(image_id)
-            if rec is None:
-                continue
+            if rec is None or not rec.get("annotations"):
+                continue  # reference skips images without annotations
             try:
                 img = (
                     rec["image"].copy()
@@ -226,20 +262,37 @@ class RotatedDetectionEvaluator:
                 )
             except Exception:
                 continue
-            for a in rec.get("annotations", []):
-                pts = np.asarray(a["corners"]).reshape(4, 2).astype(np.int32)
-                cv2.polylines(img, [pts], True, (0, 255, 0), 2)
+
+            vis_pred = img.copy()
             p = self._preds[image_id]
             for box, s, c in zip(p["corners"], p["scores"], p["classes"]):
                 if s < score_thresh:
                     continue
+                shown = float(s) ** 2 if unmix_centerness else float(s)
                 pts = np.asarray(box).reshape(4, 2).astype(np.int32)
-                color = (
-                    int(37 * (c + 1) % 255), int(91 * (c + 3) % 255), 255,
+                color = class_color(int(c))
+                cv2.polylines(vis_pred, [pts], True, color, 2)
+                name = (
+                    self.class_names[int(c)]
+                    if int(c) < len(self.class_names)
+                    else str(int(c))
                 )
-                cv2.polylines(img, [pts], True, color, 2)
+                draw_label(vis_pred, pts, f"{name} {shown:.0%}", color)
+
+            vis_gt = img.copy()
+            for a in rec["annotations"]:
+                pts = np.asarray(a["corners"]).reshape(4, 2).astype(np.int32)
+                c = int(a.get("category_id", 0))
+                color = class_color(c)
+                cv2.polylines(vis_gt, [pts], True, color, 2)
+                name = (
+                    self.class_names[c] if c < len(self.class_names) else str(c)
+                )
+                draw_label(vis_gt, pts, name, color)
+
+            concat = np.concatenate((vis_pred, vis_gt), axis=1)
             dst = os.path.join(out, f"{image_id}.png")
-            cv2.imwrite(dst, img)
+            cv2.imwrite(dst, concat)
             paths.append(dst)
         return paths
 

@@ -46,15 +46,21 @@ def conv(ch, k, s=1, name=None, dtype=jnp.float32, groups=1, bias=False):
 
 
 def blur_pool(x, stride=2, dtype=jnp.float32):
-    """Binomial [1,2,1]^T [1,2,1] depthwise blur + subsample (lpf.py:8-114)."""
+    """Binomial [1,2,1]^T [1,2,1] depthwise blur + subsample (lpf.py:8-48).
+
+    The reference Downsample REFLECT-pads by (1,1) before the strided
+    depthwise filter (lpf.py:39 ``get_pad_layer('reflect')``) — zero padding
+    would darken borders and break numeric parity (tests/test_backbones.py
+    pins this against a torch re-statement)."""
     c = x.shape[-1]
     f1 = np.asarray([1.0, 2.0, 1.0])
     f2 = np.outer(f1, f1)
     f2 = f2 / f2.sum()
     kernel = jnp.asarray(f2, dtype)[:, :, None, None]  # HWIO depthwise
     kernel = jnp.tile(kernel, (1, 1, 1, c))
+    x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
     return jax.lax.conv_general_dilated(
-        x.astype(dtype), kernel, (stride, stride), [(1, 1), (1, 1)],
+        x.astype(dtype), kernel, (stride, stride), "VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
     )
 
@@ -106,8 +112,10 @@ class ResNetLPF(nn.Module):
         blocks = RESNET_STAGES[self.depth]
         y = conv(64, 7, 2, "stem_conv1", self.dtype)(x)
         y = nn.relu(BN(64, dtype=self.dtype, name="stem_conv1_norm")(y))
-        # anti-aliased maxpool: stride-1 max + blur-pool
-        y = nn.max_pool(y, (3, 3), strides=(1, 1), padding=[(1, 1), (1, 1)])
+        # anti-aliased maxpool: the reference's pool_only stem is a 2x2
+        # stride-1 VALID max (resnet_lpf.py:169 — NOT 3x3/pad-1; output is
+        # H-1) followed by the reflect-pad blur-pool
+        y = nn.max_pool(y, (2, 2), strides=(1, 1), padding="VALID")
         y = blur_pool(y, 2, self.dtype)
         if self.freeze_at >= 1:
             y = jax.lax.stop_gradient(y)

@@ -86,3 +86,67 @@ def test_dla_variant_through_full_detector():
     params = model.init(jax.random.PRNGKey(0), x)["params"]
     out = model.apply({"params": params}, x)
     assert out["logits"][0].shape == (1, 16, 16, 2)
+
+
+def test_resnet_lpf_numeric_parity_vs_torch():
+    """ResNet-LPF trunk numeric parity vs a torch re-statement of the
+    reference (VERDICT r3 #6; resnet_lpf.py:104-260 + lpf.py Downsample).
+    LPF is config-reachable (MODEL.BACKBONE.ANTI_ALIAS, reference
+    fpn.py:67-68) so shape-only testing was not enough: this pins the
+    reflect-pad blur-pool, the 2x2 stride-1 VALID stem max-pool, and the
+    blur placement inside the bottleneck (after conv2's relu, before conv3;
+    shortcut blurred before its 1x1) with shared random weights."""
+    torch = pytest.importorskip("torch")
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from torch_reference_model import TorchResNetLPF
+
+    from dafne_tpu.models.backbones import ResNetLPF
+
+    model = ResNetLPF(depth=50, freeze_at=0, dtype=jnp.float32)
+    x = np.random.RandomState(0).rand(2, 64, 64, 3).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+
+    # randomize every leaf (kernels, BN affine AND stats) so identity-init
+    # can't mask a mapping error
+    rng = np.random.RandomState(1)
+
+    def randomize(path, leaf):
+        name = path[-1].key
+        if name == "running_var":
+            return rng.uniform(0.5, 1.5, leaf.shape).astype(np.float32)
+        if name in ("weight",):  # BN scale
+            return rng.normal(1.0, 0.2, leaf.shape).astype(np.float32)
+        if name in ("bias", "running_mean"):
+            return rng.normal(0.0, 0.2, leaf.shape).astype(np.float32)
+        return rng.normal(0.0, 0.05, leaf.shape).astype(np.float32)
+
+    params = jax.tree_util.tree_map_with_path(randomize, params)
+
+    tmodel = TorchResNetLPF(50).eval()
+    sd = {}
+    from flax.traverse_util import flatten_dict
+
+    for path, leaf in flatten_dict(params).items():
+        key = ".".join(path)
+        arr = np.asarray(leaf)
+        if path[-1] == "kernel":
+            key = key.replace(".kernel", ".weight")
+            arr = arr.transpose(3, 2, 0, 1)  # HWIO -> OIHW
+        sd[key] = torch.from_numpy(arr.copy())
+    missing, unexpected = tmodel.load_state_dict(sd, strict=False)
+    # only the fixed blur filters are allowed to be unmatched
+    assert all("blur" in k or "filt" in k for k in missing), missing
+    assert unexpected == [], unexpected
+
+    j_out = model.apply({"params": params}, jnp.asarray(x))
+    with torch.no_grad():
+        t_out = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    for lvl in ("res3", "res4", "res5"):
+        t = t_out[lvl].numpy().transpose(0, 2, 3, 1)
+        j = np.asarray(j_out[lvl])
+        assert t.shape == j.shape, (lvl, t.shape, j.shape)
+        scale = max(1.0, float(np.abs(t).max()))
+        err = np.abs(t - j).max() / scale
+        assert err < 1e-4, (lvl, err)

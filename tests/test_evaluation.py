@@ -96,6 +96,49 @@ def test_evaluator_end_to_end(tmp_path):
     assert os.path.exists(tmp_path / "results.txt")
 
 
+def test_render_samples_side_by_side(tmp_path):
+    """Eval-time pred-vs-GT renderings (dota_evaluation.py:231-305): one
+    side-by-side panel per sampled image under samples/<thresh>/, GT-less
+    images skipped, sub-threshold predictions not drawn."""
+    cv2 = pytest.importorskip("cv2")
+    hw = 64
+    records = [
+        {
+            "image_id": "im0",
+            "image": np.zeros((hw, hw, 3), np.uint8),
+            "annotations": [
+                {"corners": _box(4, 4, 20, 20).tolist(), "category_id": 0,
+                 "difficult": False},
+            ],
+        },
+        {  # no annotations -> must be skipped like the reference
+            "image_id": "im1",
+            "image": np.zeros((hw, hw, 3), np.uint8),
+            "annotations": [],
+        },
+    ]
+    ev = RotatedDetectionEvaluator(
+        "test_ds", records, class_names=["a"], output_dir=str(tmp_path)
+    )
+    for image_id in ("im0", "im1"):
+        ev.process_image(
+            image_id,
+            np.stack([_box(4, 4, 20, 20), _box(30, 30, 50, 40)]),
+            np.asarray([0.9, 0.1]),  # second is below the 0.3 threshold
+            np.asarray([0, 0]),
+            np.asarray([True, True]),
+        )
+    paths = ev.render_samples(num_images=5, score_thresh=0.3)
+    assert paths == [str(tmp_path / "samples" / "0.3" / "im0.png")]
+    panel = cv2.imread(paths[0])
+    assert panel.shape == (hw, 2 * hw, 3)  # [pred | gt] concat
+    # prediction panel has drawn pixels; the sub-threshold far box region
+    # (right half of the pred panel, around (30..50, 30..40)) stays black
+    pred_panel = panel[:, :hw]
+    assert pred_panel.any()
+    assert not pred_panel[28:44, 28:54].any()
+
+
 def test_evaluator_duplicate_records_deduped(tmp_path):
     """Regression: *_mini splits sample records WITH replacement
     (dota.py:312-318); duplicated records must not double the ground truth

@@ -264,3 +264,100 @@ class TorchDAFNe(nn.Module):
         )
         feats = self.backbone(x)
         return self.proposal_generator.dafne_head(feats)
+
+
+# ---------------------------------------------------------------------------
+# ResNet-LPF trunk (anti-aliased; reference resnet_lpf.py:104-260 + lpf.py)
+# ---------------------------------------------------------------------------
+
+
+class TorchBlurPool(nn.Module):
+    """lpf.py Downsample, filt_size=3: REFLECT pad (1,1) then depthwise
+    [1,2,1]x[1,2,1]/16 conv at the given stride."""
+
+    def __init__(self, channels, stride=2):
+        super().__init__()
+        a = torch.tensor([1.0, 2.0, 1.0])
+        filt = a[:, None] * a[None, :]
+        filt = filt / filt.sum()
+        self.register_buffer("filt", filt[None, None].repeat(channels, 1, 1, 1))
+        self.stride = stride
+
+    def forward(self, x):
+        x = F.pad(x, (1, 1, 1, 1), mode="reflect")
+        return F.conv2d(x, self.filt, stride=self.stride, groups=x.shape[1])
+
+
+class TorchLPFBottleneck(nn.Module):
+    """resnet_lpf.py Bottleneck: 1x1 -> 3x3 (stride moved out) -> [blur] ->
+    1x1; shortcut = [blur] -> 1x1 -> norm.  Submodule names mirror the flax
+    LPFBottleneck so state dicts map 1:1 (kernel<->weight transpose only)."""
+
+    def __init__(self, cin, cout, cmid, stride=1):
+        super().__init__()
+        self.stride = stride
+        if cin != cout or stride != 1:
+            self.shortcut = nn.Conv2d(cin, cout, 1, bias=False)
+            self.shortcut_norm = FrozenBN(cout)
+            self.shortcut_blur = (
+                TorchBlurPool(cin, stride) if stride != 1 else None
+            )
+        else:
+            self.shortcut = None
+        self.conv1 = nn.Conv2d(cin, cmid, 1, bias=False)
+        self.conv1_norm = FrozenBN(cmid)
+        self.conv2 = nn.Conv2d(cmid, cmid, 3, padding=1, bias=False)
+        self.conv2_norm = FrozenBN(cmid)
+        self.blur = TorchBlurPool(cmid, stride) if stride != 1 else None
+        self.conv3 = nn.Conv2d(cmid, cout, 1, bias=False)
+        self.conv3_norm = FrozenBN(cout)
+
+    def forward(self, x):
+        if self.shortcut is not None:
+            s = x
+            if self.shortcut_blur is not None:
+                s = self.shortcut_blur(s)
+            sc = self.shortcut_norm(self.shortcut(s))
+        else:
+            sc = x
+        y = F.relu(self.conv1_norm(self.conv1(x)))
+        y = F.relu(self.conv2_norm(self.conv2(y)))
+        if self.blur is not None:
+            y = self.blur(y)
+        y = self.conv3_norm(self.conv3(y))
+        return F.relu(y + sc)
+
+
+class TorchResNetLPF(nn.Module):
+    """Anti-aliased trunk (resnet_lpf.py:149-260, pool_only=True,
+    filter_size=3): 7x7/2 stem -> 2x2 stride-1 VALID max -> blur-pool,
+    then res2..res5 with blurred strides.  Returns {res3, res4, res5}."""
+
+    def __init__(self, depth=50):
+        super().__init__()
+        self.stem_conv1 = nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+        self.stem_conv1_norm = FrozenBN(64)
+        self.stem_blur = TorchBlurPool(64, 2)
+        cin = 64
+        for stage, nblocks in enumerate(RESNET_BLOCKS[depth], start=2):
+            cmid = 64 * 2 ** (stage - 2)
+            cout = cmid * 4
+            for b in range(nblocks):
+                stride = 2 if (stage > 2 and b == 0) else 1
+                self.add_module(
+                    f"res{stage}_{b}", TorchLPFBottleneck(cin, cout, cmid, stride)
+                )
+                cin = cout
+        self._blocks = RESNET_BLOCKS[depth]
+
+    def forward(self, x):
+        y = F.relu(self.stem_conv1_norm(self.stem_conv1(x)))
+        y = F.max_pool2d(y, kernel_size=2, stride=1)
+        y = self.stem_blur(y)
+        outs = {}
+        for stage, nblocks in enumerate(self._blocks, start=2):
+            for b in range(nblocks):
+                y = getattr(self, f"res{stage}_{b}")(y)
+            if stage >= 3:
+                outs[f"res{stage}"] = y
+        return outs

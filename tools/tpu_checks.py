@@ -282,12 +282,18 @@ def check_nms_shipped_scale(rng, results):
         "kept_ref64": int(ref_keep.sum()),
         "pallas_xla_agreement": agreement_pl_xla,
         "ref_agreement": float((keep_pl == ref_keep).mean()),
+        "ref_flips": int((keep_pl != ref_keep).sum()),
         "zero_score_valid_kept": int(
             (keep_pl & valid & (scores == 0.0)).sum()
         ),
     }
     assert agreement_pl_xla == 1.0, results["nms_shipped_scale"]
-    assert results["nms_shipped_scale"]["ref_agreement"] > 0.995, (
+    # The one known on-chip deviation from the host-precision reference:
+    # borderline-IoU keep decisions flip under f32 (0.9985 measured, 6/4096
+    # flips; no mAP effect per the decode deviation study).  Gate at >=0.998
+    # (VERDICT r3 #8) so a numerics regression can't hide behind "inherent
+    # float noise".
+    assert results["nms_shipped_scale"]["ref_agreement"] >= 0.998, (
         results["nms_shipped_scale"]
     )
 

@@ -589,6 +589,99 @@ def main():
         )
         print("train_step_xla_assign", results["train_step_xla_assign_ms"], flush=True)
 
+    if "roofline" in phases:
+        # Per-phase roofline (VERDICT r3 #4): compiled-HLO FLOPs and bytes
+        # from XLA cost analysis vs v5e peaks -> how close each phase sits
+        # to its compute/bandwidth bound.  bound_ms = max(flops/peak_flops,
+        # bytes/peak_bw); pct_of_bound = bound/measured (1.0 = speed of
+        # light).  Bytes are fusion-boundary buffer accesses — a faithful
+        # HBM-traffic proxy for this all-fused program.  Peaks: v5e bf16
+        # MXU 197 TFLOP/s, HBM 819 GB/s (public TPU v5e spec).
+        PEAK_FLOPS = 197e12
+        PEAK_BW = 819e9
+
+        def cost_of(jitted, *args):
+            comp = jitted.lower(*args).compile()
+            ca = comp.cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            return float(ca.get("flops", 0.0)), float(
+                ca.get("bytes accessed", 0.0)
+            )
+
+        programs = {}
+
+        def fwd_p(params, image):
+            return _consume_all(model.apply({"params": params}, image))
+
+        programs["model_fwd"] = (jax.jit(fwd_p), (params, batch["image"]))
+
+        def triv_p(params, image):
+            out = model.apply({"params": params}, image)
+            return sum(
+                jnp.sum(o.astype(jnp.float32))
+                for k in ("logits", "corners", "ctrness")
+                for o in out[k]
+            )
+
+        def grad_p(params, image):
+            l, g = jax.value_and_grad(triv_p)(params, image)
+            return l + sum(
+                jnp.sum(x).astype(jnp.float32)
+                for x in jax.tree_util.tree_leaves(g)
+            )
+
+        programs["model_grad"] = (jax.jit(grad_p), (params, batch["image"]))
+
+        from dafne_tpu.engine.trainer import make_eval_step
+
+        programs["eval_full"] = (
+            jax.jit(make_eval_step(model, cfg, (HW, HW))),
+            (params, batch["image"]),
+        )
+
+        tx_r, sched_r = build_optimizer(cfg, params)
+        state_r = TrainState(
+            step=jnp.zeros((), jnp.int32), params=params,
+            opt_state=tx_r.init(params), tx=tx_r,
+        )
+        programs["train_step"] = (
+            jax.jit(make_train_step(model, cfg, (HW, HW), tx_r, sched_r)),
+            (state_r, batch),
+        )
+
+        # measured ms: this run's numbers, else the committed profile
+        committed = {}
+        prof_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "PROFILE_TRAIN.json",
+        )
+        if os.path.exists(prof_path):
+            with open(prof_path) as f:
+                committed = json.load(f)
+
+        roofline = {}
+        for name, (jitted, pargs) in programs.items():
+            flops, nbytes = cost_of(jitted, *pargs)
+            flops_ms = flops / PEAK_FLOPS * 1e3
+            bw_ms = nbytes / PEAK_BW * 1e3
+            bound_ms = max(flops_ms, bw_ms)
+            measured = results.get(f"{name}_ms", committed.get(f"{name}_ms"))
+            roofline[name] = {
+                "flops_g": round(flops / 1e9, 1),
+                "bytes_gb": round(nbytes / 1e9, 2),
+                "flops_bound_ms": round(flops_ms, 1),
+                "bw_bound_ms": round(bw_ms, 1),
+                "bound_ms": round(bound_ms, 1),
+                "bound": "flops" if flops_ms >= bw_ms else "bandwidth",
+                "measured_ms": measured,
+                "pct_of_bound": (
+                    round(bound_ms / measured, 2) if measured else None
+                ),
+            }
+            print("roofline", name, roofline[name], flush=True)
+        results["roofline"] = roofline
+
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "PROFILE_TRAIN.json",
