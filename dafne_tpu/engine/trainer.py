@@ -143,10 +143,18 @@ def make_train_step(model, cfg, image_hw: Tuple[int, int], tx, schedule=None):
     return train_step
 
 
-def make_eval_step(model, cfg, image_hw: Tuple[int, int]):
-    """Build the jittable inference step: images -> fixed-size detections."""
+def make_eval_step(model, cfg, image_hw: Tuple[int, int], decode_overrides=None):
+    """Build the jittable inference step: images -> fixed-size detections.
+
+    ``decode_overrides``: optional dict of DecodeSpec field overrides
+    (diagnostics only — e.g. bench.py's ``{"skip_nms": True}`` NMS-share
+    attribution program)."""
+    import dataclasses
+
     assign_spec = AssignmentSpec.from_config(cfg)
     decode_spec = DecodeSpec.from_config(cfg, train=False)
+    if decode_overrides:
+        decode_spec = dataclasses.replace(decode_spec, **decode_overrides)
     locs_list, *_ = make_location_tables(image_hw, assign_spec)
     eval_int8 = bool(cfg.TPU.get("EVAL_INT8", False))
     # 0 = auto (dynamic -> 256, static -> 64; quantized_eval_scope)

@@ -50,6 +50,9 @@ class DecodeSpec:
     # default is EXACT top-k (ops/topk.py radix select + scatter-free
     # compaction): +2.9% full-program eval cost vs approx — under the <5%
     # bar, so the reference-exact candidate set is the default
+    skip_nms: bool = False  # DIAGNOSTIC ONLY (bench.py NMS-share attribution):
+    # keep = valid, i.e. the identical program minus suppression; never a
+    # serving mode
 
     @classmethod
     def from_config(cls, cfg, train: bool = False) -> "DecodeSpec":
@@ -222,7 +225,9 @@ def decode_detections(
     if spec.sort_corners:
         corners = sort_quadrilateral(corners)
 
-    if spec.nms_group_candidates > 0:
+    if spec.skip_nms:
+        keep = valid
+    elif spec.nms_group_candidates > 0:
         keep = rotated_nms_grouped_batched(
             corners, scores, classes, valid, spec.nms_threshold,
             spec.class_merge, spec.num_classes,
