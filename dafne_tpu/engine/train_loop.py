@@ -34,7 +34,12 @@ from dafne_tpu.ops.postprocess import DecodeSpec
 from dafne_tpu.ops.targets import AssignmentSpec
 from dafne_tpu.evaluation import build_evaluator
 from dafne_tpu.models import build_model
-from dafne_tpu.parallel import batch_sharding, create_mesh, replicated_sharding
+from dafne_tpu.parallel import (
+    batch_sharding,
+    create_mesh,
+    replicate_to_mesh,
+    replicated_sharding,
+)
 from dafne_tpu.parallel.mesh import mesh_from_config
 
 logger = logging.getLogger("dafne_tpu")
@@ -110,10 +115,9 @@ def do_test(
     # compile a one-device program and idle the rest of the slice
     use_mesh = n_mesh_dev > 1
     if use_mesh:
-        rep = replicated_sharding(mesh)
-        params = jax.device_put(params, rep)
+        params = replicate_to_mesh(params, mesh)
         if batch_stats is not None:
-            batch_stats = jax.device_put(batch_stats, rep)
+            batch_stats = replicate_to_mesh(batch_stats, mesh)
 
         from dafne_tpu.parallel import shard_batch
 
@@ -161,7 +165,7 @@ def do_test(
                 _EVAL_STEP_CACHE.clear()
             fn = make_eval_step(model, cfg, pad_hw)
             _EVAL_STEP_CACHE[cache_key] = jax.jit(
-                fn, out_shardings=rep
+                fn, out_shardings=replicated_sharding(mesh)
             ) if use_mesh else jax.jit(fn)
         eval_step = _EVAL_STEP_CACHE[cache_key]
         batch_size = max(1, int(cfg.TPU.EVAL_BATCH))
@@ -282,7 +286,7 @@ def do_train(cfg, model, resume: bool = False):
     # along "spatial" when the mesh defines one — §5.7 spatial parallelism)
     from dafne_tpu.parallel import shard_batch
 
-    state = jax.device_put(state, replicated_sharding(mesh))
+    state = replicate_to_mesh(state, mesh)
     spatial = "spatial" if "spatial" in mesh.axis_names else None
 
     step_fn = jax.jit(

@@ -57,6 +57,20 @@ def maybe_initialize_distributed(env=None) -> bool:
         f"distributed: process {jax.process_index()}/{jax.process_count()}, "
         f"{len(jax.local_devices())} local of {len(jax.devices())} devices"
     )
+    # Eagerly create the collectives context while processes are still in
+    # lockstep.  XLA's gloo KV exchange has a HARDCODED 30 s deadline and the
+    # context is created lazily at the FIRST collective — which otherwise
+    # fires deep inside startup (orbax root-dir sync), after minutes of
+    # per-process model building whose skew on an oversubscribed host easily
+    # exceeds 30 s (observed: DEADLINE_EXCEEDED cpu:gloo GetKeyValue).  A
+    # trivial psum here pins context creation to this moment, when the
+    # processes are within milliseconds of each other; later collectives
+    # reuse the context and carry no deadline race.
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("dafne:startup-barrier")
+        logger.info("distributed: startup collectives barrier passed")
     return True
 
 

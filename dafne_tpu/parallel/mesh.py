@@ -53,6 +53,28 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def replicate_to_mesh(tree: Any, mesh: Mesh) -> Any:
+    """Replicate a pytree of host/local arrays onto every device of `mesh`.
+
+    Single-process: plain device_put.  Multi-process: device_put raises
+    "backend does not support cross-host device transfers" whenever a leaf
+    is already committed to a local device — exactly what an orbax restore
+    returns, so a multi-host `--resume` died here (caught by the
+    kill/resume drill).  Every process holds the full value, so replication
+    needs no communication at all: each process just materializes its
+    addressable shards from its own local copy via make_array_from_callback.
+    """
+    sharding = replicated_sharding(mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(tree, sharding)
+
+    def leaf(x):
+        v = np.asarray(x)
+        return jax.make_array_from_callback(v.shape, sharding, lambda idx: v[idx])
+
+    return jax.tree_util.tree_map(leaf, tree)
+
+
 def image_sharding(mesh: Mesh, data_axis: str = "data",
                    spatial_axis: Optional[str] = None) -> NamedSharding:
     """[N, H, W, C] sharding: batch over `data_axis`, H over `spatial_axis`.
