@@ -76,7 +76,7 @@ def timed_chain(step, *args, iters=ITERS, warmup=WARMUP):
     return time.perf_counter() - t0
 
 
-def make_scene_batches(rng, n_buffers, batch, hw, max_boxes, seed_base):
+def make_scene_batches(n_buffers, batch, hw, max_boxes, seed_base):
     """Held-out synthetic oriented scenes staged as device buffers."""
     from dafne_tpu.data.datasets.synthetic import _make_gen_record
 
@@ -162,7 +162,7 @@ def get_trained_params(model, cfg):
     return jax.device_put(params), "trained"
 
 
-def candidate_mix(model, cfg, params, images):
+def candidate_mix(model, cfg, params, images, eval_step):
     """Measured candidate mix on one batch: per-level survivors above the
     inference threshold (pre-cap), NMS input occupancy (post-cap), and
     post-NMS keeps — the knobs that set the data-dependent NMS cost."""
@@ -188,9 +188,7 @@ def candidate_mix(model, cfg, params, images):
         return pre
 
     pre = np.asarray(jax.jit(stats)(params, images))
-    from dafne_tpu.engine.trainer import make_eval_step
-
-    det = jax.jit(make_eval_step(model, cfg, (HW, HW)))(params, images)
+    det = eval_step(params, images)
     kept = np.asarray(det["valid"]).sum(axis=1)
     cap = int(cfg.TPU.NMS_MAX_CANDIDATES)
     nms_in = np.minimum(pre, cap) if cap > 0 else pre
@@ -213,7 +211,7 @@ def bench_regime(model, cfg, params, images, with_nms_share):
 
     dt = timed_chain(jax.jit(step_fn), params, images)
     result = {"img_s": round(BATCH * ITERS / dt, 2)}
-    result.update(candidate_mix(model, cfg, params, images[0]))
+    result.update(candidate_mix(model, cfg, params, images[0], eval_step))
     if with_nms_share:
         # identical program minus suppression (DecodeSpec.skip_nms) -> the
         # difference is the data-dependent NMS cost
@@ -247,8 +245,7 @@ def main():
     try:
         params_t, trained_source = get_trained_params(model, cfg)
         scene_images = make_scene_batches(
-            rng, n_buffers=2, batch=BATCH, hw=HW, max_boxes=96,
-            seed_base=2_000_000,
+            n_buffers=2, batch=BATCH, hw=HW, max_boxes=96, seed_base=2_000_000,
         )
         trained = bench_regime(model, cfg, params_t, scene_images,
                                with_nms_share=True)

@@ -231,13 +231,7 @@ def do_test(
         else:
             res = evaluator.evaluate()
             if out_dir:
-                evaluator.render_samples(
-                    cfg.TEST.NUM_PRED_VIS,
-                    unmix_centerness=(
-                        cfg.MODEL.DAFNE.CENTERNESS != "none"
-                        and not cfg.MODEL.DAFNE.CENTERNESS_USE_IN_SCORE
-                    ),
-                )
+                evaluator.render_samples(cfg.TEST.NUM_PRED_VIS)
         logger.info(
             f"eval {dataset_name}: {n_images} images in {dt:.1f}s "
             f"({n_images / max(dt, 1e-9):.2f} img/s) mAP={res.get('mAP', 0):.2f}"

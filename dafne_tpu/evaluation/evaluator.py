@@ -203,7 +203,6 @@ class RotatedDetectionEvaluator:
         self,
         num_images: int = 20,
         score_thresh: float = 0.3,
-        unmix_centerness: bool = False,
     ):
         """Eval-time prediction-vs-GT sample renderings
         (dota_evaluation.py:231-305): per sampled image a side-by-side
@@ -212,13 +211,12 @@ class RotatedDetectionEvaluator:
         ``output_dir/samples/<thresh>/<image>.png``.  Images without
         annotations are skipped, matching the reference.
 
-        ``unmix_centerness``: the reference divides the centerness factor
-        back out of the displayed scores when CENTERNESS != "none" and
-        CENTERNESS_USE_IN_SCORE is False (score -> score**2 / centerness);
-        this framework's decode emits the composed score only, so the caller
-        passes the flag and the un-mixing uses score**2 (the sqrt(cls*ctr)
-        composition inverted at ctr≈score), keeping the displayed numbers in
-        class-confidence units as the reference intends.
+        Scores are displayed as decoded: when CENTERNESS != "none" and
+        CENTERNESS_USE_IN_SCORE is False the decode itself already divides
+        the centerness factor back out of the reported score
+        (ops/postprocess.py, matching dota_evaluation.py:134-137), so the
+        numbers here are in class-confidence units in every config with no
+        further transform.
         """
         if not self.output_dir:
             return []
@@ -268,7 +266,7 @@ class RotatedDetectionEvaluator:
             for box, s, c in zip(p["corners"], p["scores"], p["classes"]):
                 if s < score_thresh:
                     continue
-                shown = float(s) ** 2 if unmix_centerness else float(s)
+                shown = float(s)
                 pts = np.asarray(box).reshape(4, 2).astype(np.int32)
                 color = class_color(int(c))
                 cv2.polylines(vis_pred, [pts], True, color, 2)

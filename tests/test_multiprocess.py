@@ -100,3 +100,13 @@ def test_multiprocess_kill_resume():
     import __graft_entry__ as g
 
     g.dryrun_multiprocess_kill_resume(2, 2)
+
+
+def test_multiprocess_elastic_resume():
+    """Elastic world-size recovery: a 1-process x 4-device run's Orbax
+    checkpoint resumes on a 2-process x 4-device gloo cluster (8-way data
+    parallelism, double global batch) and continues the iteration/metric
+    sequence without duplication."""
+    import __graft_entry__ as g
+
+    g.dryrun_multiprocess_elastic_resume()

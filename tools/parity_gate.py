@@ -70,7 +70,15 @@ GATES = [
         # local-eval flow (dota_evaluation.py val path).
         "eval_dataset": "dota_1_val_1024",
         "map_published": 76.95,
-        "map_window": 0.3,
+        # The published 76.95 is a TEST-SERVER number and the local eval runs
+        # the labeled VAL split — a different (unpublished) quantity, so a
+        # tight two-sided window on it would spuriously fail a correct port
+        # (or mis-certify a broken one that lands nearby).  The local gate is
+        # therefore a SANITY FLOOR on val mAP; the definitive check is the
+        # produced submission.zip scored by the DOTA evaluation server
+        # against the published test number.
+        "map_floor": 70.0,
+        "protocol": "server",
         "expect_minutes": 240,  # TTA x15 augs over the val split
     },
 ]
@@ -231,15 +239,35 @@ def main(argv=None):
             )
             os.makedirs(out_dir, exist_ok=True)
             m = run_eval(gate, weights, out_dir)
-            # two-sided: an anomalously HIGH mAP is the classic signature
-            # of an eval/merge bug (duplicated detections, leaked GT) and
-            # must not certify parity either
-            ok = abs(m - gate["map_published"]) <= gate["map_window"]
-            summary.append({"gate": gate["name"], "mAP": m,
-                            "published": gate["map_published"], "pass": ok})
-            log(f"{gate['name']}: mAP {m:.2f} vs published "
-                f"{gate['map_published']} (window {gate['map_window']}) -> "
-                f"{'PASS' if ok else 'FAIL'}")
+            if gate.get("protocol") == "server":
+                # local eval split != the published number's split (see the
+                # gate table comment): sanity-floor locally, decide on the
+                # evaluation server
+                ok = m >= gate["map_floor"]
+                summary.append({
+                    "gate": gate["name"], "mAP": m,
+                    "floor": gate["map_floor"],
+                    "published_test_server": gate["map_published"],
+                    "pass": ok, "protocol": "server",
+                })
+                log(f"{gate['name']}: val mAP {m:.2f} vs sanity floor "
+                    f"{gate['map_floor']} -> {'PASS' if ok else 'FAIL'}; "
+                    f"for the definitive verdict re-run --eval-only WITHOUT "
+                    f"the DATASETS.TEST override (the recipe's own unlabeled "
+                    f"{cfg.DATASETS.TEST} path emits submission.zip) and "
+                    f"compare the DOTA-server score against "
+                    f"{gate['map_published']} +/- 0.3")
+            else:
+                # two-sided: an anomalously HIGH mAP is the classic
+                # signature of an eval/merge bug (duplicated detections,
+                # leaked GT) and must not certify parity either
+                ok = abs(m - gate["map_published"]) <= gate["map_window"]
+                summary.append({"gate": gate["name"], "mAP": m,
+                                "published": gate["map_published"],
+                                "pass": ok})
+                log(f"{gate['name']}: mAP {m:.2f} vs published "
+                    f"{gate['map_published']} (window {gate['map_window']}) "
+                    f"-> {'PASS' if ok else 'FAIL'}")
         else:
             summary.append({"gate": gate["name"], "mAP": None,
                             "missing": [x for x, ok in
