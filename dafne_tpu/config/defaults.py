@@ -266,6 +266,20 @@ def build_defaults() -> CfgNode:
     # (tools/calibrate_int8.py): calibrated sites use STATIC scales — the
     # quantize fuses into the producer op, no runtime max-reduce; "" = fully
     # dynamic. Uncalibrated sites always fall back to dynamic.
+    t.HOST_ASSIGN = False  # compute target assignment (ops/targets.py) on the
+    # HOST CPU inside the data-prefetch thread instead of on-device in the
+    # train step.  Targets depend only on the augmented GT (not on params), so
+    # this is pipeline work the reference happens to do on the accelerator
+    # (dafne_outputs.py:252-503); moving it off-device shrinks the device
+    # step (measured 101.8 -> 97.5 ms @ b8 1024^2 on v5e) and overlaps the
+    # assignment with the running step.  Costs ~1.1 MB/image of extra
+    # host->device traffic (labels + reg targets) and ~100 ms/batch of host
+    # CPU per core at 24 gt — enable on hosts with enough cores to keep up
+    # with the step time (see PARITY.md "Host-side target assignment");
+    # off by default.  Numerics: the
+    # same jitted assign_targets runs on the CPU backend (impl="xla"), and
+    # the train-step losses are asserted equal either way
+    # (tests/test_engine.py::test_host_assign_losses_match).
     t.EVAL_INT8_MIN_CHANNELS = 0  # quantize only convs with >= this many
     # in AND out channels; 0 = auto per mode (measured A/B, PARITY.md):
     # dynamic -> 256 (narrow HBM-bound convs get SLOWER from the per-call

@@ -28,6 +28,7 @@ from dafne_tpu.engine.optimizer import auto_scale_config, build_optimizer
 from dafne_tpu.engine.trainer import (
     TrainState,
     make_eval_step,
+    make_host_assign_fn,
     make_train_step,
 )
 from dafne_tpu.ops.postprocess import DecodeSpec
@@ -288,6 +289,13 @@ def do_train(cfg, model, resume: bool = False):
         donate_argnums=(0,) if cfg.TPU.DONATE_STATE else (),
     )
 
+    # TPU.HOST_ASSIGN: target assignment moves into the prefetch thread
+    # (CPU backend), overlapping the running device step (engine/trainer.py)
+    host_assign = (
+        make_host_assign_fn(cfg, pad_hw)
+        if cfg.TPU.get("HOST_ASSIGN", False) else None
+    )
+
     # train data
     train_records = []
     for name in cfg.DATASETS.TRAIN:
@@ -338,12 +346,10 @@ def do_train(cfg, model, resume: bool = False):
             for batch in loader:
                 if stop.is_set():
                     return
-                q.put(
-                    shard_batch(
-                        {k: batch[k] for k in _DEVICE_KEYS}, mesh,
-                        spatial_axis=spatial,
-                    )
-                )
+                db = {k: batch[k] for k in _DEVICE_KEYS}
+                if host_assign is not None:
+                    db.update(host_assign(batch))
+                q.put(shard_batch(db, mesh, spatial_axis=spatial))
 
         t = _threading.Thread(target=producer, daemon=True)
         t.start()

@@ -22,6 +22,7 @@ from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax import struct
 
@@ -99,19 +100,91 @@ def compute_losses(model, params, batch, assign_spec, loss_spec,
     )
     ctrness = flatten_levels(out["ctrness"], 1)[..., 0]
 
-    targets = assign_targets(
-        locations,
-        loc_strides,
-        size_ranges,
-        batch["gt_corners"],
-        batch["gt_hbox"],
-        batch["gt_classes"],
-        batch["gt_area"],
-        batch["gt_valid"],
-        assign_spec,
-    )
+    if "tgt_labels" in batch:
+        # targets precomputed on the host (TPU.HOST_ASSIGN): same
+        # assign_targets, run on the CPU backend in the prefetch thread —
+        # the device step starts directly at the losses
+        targets = {
+            "labels": batch["tgt_labels"],
+            "reg_corners": batch["tgt_reg_corners"],
+        }
+        for k in ("tgt_reg_ltrb", "tgt_reg_abcd"):
+            if k in batch:
+                targets[k[len("tgt_"):]] = batch[k]
+    else:
+        targets = assign_targets(
+            locations,
+            loc_strides,
+            size_ranges,
+            batch["gt_corners"],
+            batch["gt_hbox"],
+            batch["gt_classes"],
+            batch["gt_area"],
+            batch["gt_valid"],
+            assign_spec,
+        )
     losses = dafne_losses(logits, corners, center, ctrness, targets, loss_spec)
     return (losses, new_stats), out
+
+
+def make_host_assign_fn(cfg, image_hw: Tuple[int, int]):
+    """Build the TPU.HOST_ASSIGN producer: host batch -> target arrays.
+
+    Runs the SAME ``assign_targets`` as the in-step path, jitted for the
+    CPU backend (impl="xla" — the Pallas kernel is TPU-only), inside the
+    data-prefetch thread so it overlaps the running device step.  Returns
+    only the fields ``dafne_losses`` consumes: labels, reg_corners, and the
+    centerness source the loss spec traces (reg_ltrb for "plain",
+    reg_abcd otherwise — ops/losses.py:199-202).
+    """
+    import dataclasses as _dc
+
+    cpu = jax.local_devices(backend="cpu")[0]
+    spec = _dc.replace(AssignmentSpec.from_config(cfg), impl="xla")
+    ctr_key = (
+        "reg_ltrb" if cfg.MODEL.DAFNE.CENTERNESS == "plain" else "reg_abcd"
+    )
+    with jax.default_device(cpu):
+        _, locations, loc_strides, size_ranges = make_location_tables(
+            image_hw, spec
+        )
+
+        @jax.jit
+        def _assign(gt_corners, gt_hbox, gt_classes, gt_area, gt_valid):
+            t = assign_targets(
+                locations, loc_strides, size_ranges,
+                gt_corners, gt_hbox, gt_classes, gt_area, gt_valid, spec,
+            )
+            return {
+                "tgt_labels": t["labels"],
+                "tgt_reg_corners": t["reg_corners"],
+                "tgt_" + ctr_key: t[ctr_key],
+            }
+
+    def host_assign(batch):
+        # The host is free to use data-dependent shapes (unlike the jitted
+        # device step): slice the static MAX_INSTANCES gt padding down to
+        # the actual max valid count, rounded up to the scan chunk — on
+        # typical scenes (<=32 gt) this is ~8x less assignment work than
+        # the 256-slot padded shape.  The jit caches one executable per
+        # bucket; targets' shapes ([N, K, ...]) don't depend on it.
+        v = np.asarray(batch["gt_valid"])
+        cols = np.where(v.any(axis=0))[0]  # last valid COLUMN, not count —
+        # robust even if a mapper ever emits non-prefix-packed validity
+        n_valid = int(cols[-1]) + 1 if cols.size else 1
+        m = int(v.shape[1])
+        bucket = min(m, max(spec.gt_chunk, -(-n_valid // spec.gt_chunk)
+                            * spec.gt_chunk))
+        # committing the inputs to the CPU device pins the jit execution
+        # there (the process default device is the TPU)
+        out = _assign(*(
+            jax.device_put(np.asarray(batch[k])[:, :bucket], cpu)
+            for k in ("gt_corners", "gt_hbox", "gt_classes", "gt_area",
+                      "gt_valid")
+        ))
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    return host_assign
 
 
 def make_train_step(model, cfg, image_hw: Tuple[int, int], tx, schedule=None):

@@ -231,3 +231,93 @@ def test_batchnorm_stats_update_and_checkpoint(tmp_path):
         ),
         bn1,
     )
+
+
+def test_host_assign_losses_match(tmp_path):
+    """TPU.HOST_ASSIGN: targets precomputed in the prefetch thread (same
+    assign_targets, CPU backend) must be loss-identical to the in-step
+    assignment — and the target arrays themselves must match exactly."""
+    from dafne_tpu.engine.trainer import (
+        make_host_assign_fn,
+        make_location_tables,
+        make_train_step,
+    )
+    from dafne_tpu.engine.train_loop import build_state
+    from dafne_tpu.models import build_model
+    from dafne_tpu.ops.targets import AssignmentSpec, assign_targets
+    from tests.test_model import synthetic_batch
+
+    cfg = tiny_cfg(tmp_path)
+    model = build_model(cfg)
+    state, tx, sched = build_state(cfg, model, (128, 128))
+    step = jax.jit(make_train_step(model, cfg, (128, 128), tx, sched))
+    batch = synthetic_batch(n=2, hw=128, num_classes=3)
+    _, m_dev = step(state, batch)
+
+    host_assign = make_host_assign_fn(cfg, (128, 128))
+    tgt = host_assign(batch)
+    assert set(tgt) == {"tgt_labels", "tgt_reg_corners", "tgt_reg_abcd"}
+
+    # target arrays match the in-step assignment exactly
+    spec = AssignmentSpec.from_config(cfg)
+    _, locations, loc_strides, size_ranges = make_location_tables(
+        (128, 128), spec
+    )
+    ref = assign_targets(
+        locations, loc_strides, size_ranges, batch["gt_corners"],
+        batch["gt_hbox"], batch["gt_classes"], batch["gt_area"],
+        batch["gt_valid"], spec,
+    )
+    np.testing.assert_array_equal(tgt["tgt_labels"], np.asarray(ref["labels"]))
+    # float targets: two separate XLA compilations of the same math may
+    # reassociate fma -> ULP-level diffs; tight allclose, not bit equality
+    np.testing.assert_allclose(
+        tgt["tgt_reg_corners"], np.asarray(ref["reg_corners"]),
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        tgt["tgt_reg_abcd"], np.asarray(ref["reg_abcd"]),
+        rtol=1e-4, atol=1e-5,
+    )
+
+    # the jitted step consumes the precomputed targets (retraces on the new
+    # batch keys) and produces the same losses
+    batch_h = dict(batch)
+    batch_h.update({k: jnp.asarray(v) for k, v in tgt.items()})
+    _, m_host = step(state, batch_h)
+    for k in m_dev:
+        np.testing.assert_allclose(
+            np.asarray(m_dev[k]), np.asarray(m_host[k]),
+            rtol=1e-5, atol=1e-6, err_msg=k,
+        )
+
+
+def test_host_assign_full_loop(tmp_path):
+    """do_train wiring: TPU.HOST_ASSIGN runs end-to-end (loader -> prefetch
+    thread assign -> sharded device batch -> step) with finite losses."""
+    import json
+
+    from dafne_tpu.data.registry import register_all_datasets
+    from dafne_tpu.engine.train_loop import do_train
+    from dafne_tpu.models import build_model
+
+    cfg = tiny_cfg(
+        tmp_path,
+        **{
+            "TPU.HOST_ASSIGN": True,
+            "SOLVER.IMS_PER_BATCH": 8,
+            "SOLVER.MAX_ITER": 2,
+            "SOLVER.CHECKPOINT_PERIOD": 0,
+            "TEST.EVAL_PERIOD": 0,
+            "DEBUG.OVERFIT_NUM_IMAGES": 2,
+        },
+    )
+    register_all_datasets(cfg)
+    model = build_model(cfg)
+    do_train(cfg, model)
+    rows = [
+        json.loads(l)
+        for l in open(os.path.join(str(tmp_path), "metrics.json"))
+    ]
+    losses = [r["loss/total"] for r in rows if "loss/total" in r]
+    assert losses and all(np.isfinite(l) for l in losses), rows

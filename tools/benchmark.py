@@ -90,13 +90,25 @@ def main():
         )
         loader = DataLoader(cfg, records, bs, train=True)
         it = iter(loader)
-        # cache a handful of batches on device (benchmark.py:91-110 style)
-        batches = [
-            {k: jnp.asarray(b[k]) for k in (
+        # cache a handful of batches on device (benchmark.py:91-110 style);
+        # under TPU.HOST_ASSIGN stage precomputed targets with each batch,
+        # mirroring the train loop's prefetch-thread producer
+        host_assign = None
+        if cfg.TPU.get("HOST_ASSIGN", False):
+            from dafne_tpu.engine.trainer import make_host_assign_fn
+
+            host_assign = make_host_assign_fn(cfg, pad_hw)
+
+        def stage(b):
+            d = {k: jnp.asarray(b[k]) for k in (
                 "image", "gt_corners", "gt_hbox", "gt_classes", "gt_area",
                 "gt_valid")}
-            for b in itertools.islice(it, 8)
-        ]
+            if host_assign is not None:
+                d.update({k: jnp.asarray(v)
+                          for k, v in host_assign(b).items()})
+            return d
+
+        batches = [stage(b) for b in itertools.islice(it, 8)]
         # state donation chains the steps (each consumes the previous
         # state); the final barrier must be a FETCH — on the axon relay
         # runtime block_until_ready can return before execution (see

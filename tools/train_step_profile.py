@@ -170,7 +170,8 @@ def main():
         results["loss_fwd_ms"] = round(ms, 1)
         print("loss_fwd", results["loss_fwd_ms"], flush=True)
 
-    def full_step_ms(cfg_variant):
+    def full_step_ms(cfg_variant, batch_override=None):
+        bench_batch = batch if batch_override is None else batch_override
         model_v, params_v = build(cfg_variant)
         tx, sched = build_optimizer(cfg_variant, params_v)
         state = TrainState(
@@ -191,12 +192,12 @@ def main():
 
         c = jnp.zeros((), jnp.float32)
         for _ in range(WARMUP):
-            c, state = chained(c, state, batch)
+            c, state = chained(c, state, bench_batch)
         float(c)
         t0 = time.perf_counter()
         c = jnp.zeros((), jnp.float32)
         for _ in range(ITERS):
-            c, state = chained(c, state, batch)
+            c, state = chained(c, state, bench_batch)
         float(c)
         return (time.perf_counter() - t0) / ITERS * 1000.0
 
@@ -581,6 +582,32 @@ def main():
             full_step_ms(flagship_cfg(REMAT_BACKBONE=True)), 1
         )
         print("train_step_remat", results["train_step_remat_ms"], flush=True)
+
+    if "train_step_host_assign" in phases:
+        # TPU.HOST_ASSIGN device program: targets arrive WITH the batch
+        # (computed here once on the CPU backend; in the real loop the
+        # prefetch thread computes them overlapped with the running step) —
+        # the device step starts at the losses, dropping the on-device
+        # assignment phase.  host_assign_cpu_ms reports the host-side cost
+        # per batch so the overlap claim is auditable (it must stay under
+        # the step time for the prefetch thread to keep up).
+        from dafne_tpu.engine.trainer import make_host_assign_fn
+
+        cfg_h = flagship_cfg()
+        assign_host = make_host_assign_fn(cfg_h, (HW, HW))
+        assign_host(batch)  # compile
+        t0 = time.perf_counter()
+        for _ in range(5):
+            tgt = assign_host(batch)
+        host_ms = (time.perf_counter() - t0) * 1000.0 / 5
+        batch_h = dict(batch)
+        batch_h.update({k: jnp.asarray(v) for k, v in tgt.items()})
+        results["train_step_host_assign_ms"] = round(
+            full_step_ms(cfg_h, batch_override=batch_h), 1
+        )
+        results["host_assign_cpu_ms"] = round(host_ms, 1)
+        print("train_step_host_assign", results["train_step_host_assign_ms"],
+              "host_assign_cpu_ms", results["host_assign_cpu_ms"], flush=True)
 
     if "train_step_xla_assign" in phases:
         # route assignment through the XLA scan instead of the Pallas kernel
