@@ -343,19 +343,30 @@ def do_train(cfg, model, resume: bool = False):
         stop = _threading.Event()
 
         def producer():
-            for batch in loader:
-                if stop.is_set():
-                    return
-                db = {k: batch[k] for k in _DEVICE_KEYS}
-                if host_assign is not None:
-                    db.update(host_assign(batch))
-                q.put(shard_batch(db, mesh, spatial_axis=spatial))
+            try:
+                for batch in loader:
+                    if stop.is_set():
+                        return
+                    if host_assign is not None:
+                        # targets replace the gt_* arrays on device: the
+                        # host-targets loss branch never reads them, so
+                        # shipping them would be pure dead transfer
+                        db = {"image": batch["image"]}
+                        db.update(host_assign(batch))
+                    else:
+                        db = {k: batch[k] for k in _DEVICE_KEYS}
+                    q.put(shard_batch(db, mesh, spatial_axis=spatial))
+            except BaseException as e:  # surface in the consumer, don't hang
+                q.put(e)
 
         t = _threading.Thread(target=producer, daemon=True)
         t.start()
         try:
             while True:
-                yield q.get()
+                item = q.get()
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
         finally:
             stop.set()
             # drain so a producer blocked in q.put observes the stop flag and

@@ -266,7 +266,6 @@ class RotatedDetectionEvaluator:
             for box, s, c in zip(p["corners"], p["scores"], p["classes"]):
                 if s < score_thresh:
                     continue
-                shown = float(s)
                 pts = np.asarray(box).reshape(4, 2).astype(np.int32)
                 color = class_color(int(c))
                 cv2.polylines(vis_pred, [pts], True, color, 2)
@@ -275,7 +274,7 @@ class RotatedDetectionEvaluator:
                     if int(c) < len(self.class_names)
                     else str(int(c))
                 )
-                draw_label(vis_pred, pts, f"{name} {shown:.0%}", color)
+                draw_label(vis_pred, pts, f"{name} {float(s):.0%}", color)
 
             vis_gt = img.copy()
             for a in rec["annotations"]:

@@ -291,6 +291,37 @@ def test_host_assign_losses_match(tmp_path):
             rtol=1e-5, atol=1e-6, err_msg=k,
         )
 
+    # --- bucket-slicing fast path: 96-slot padding, valid rows NOT
+    # prefix-packed (one instance moved to column 40) -> bucket = 64 < 96;
+    # the sliced host assignment must match the full-width one
+    wide = {}
+    for k in ("gt_corners", "gt_hbox", "gt_classes", "gt_area", "gt_valid"):
+        v = np.asarray(batch[k])
+        pad_shape = (v.shape[0], 96) + v.shape[2:]
+        w = np.zeros(pad_shape, v.dtype)
+        w[:, : v.shape[1]] = v
+        wide[k] = w
+    # relocate image 0's instance 1 to column 40, leaving a validity gap
+    for k in ("gt_corners", "gt_hbox", "gt_classes", "gt_area", "gt_valid"):
+        wide[k][0, 40] = wide[k][0, 1]
+        wide[k][0, 1] = 0
+    tgt_w = host_assign(wide)
+    ref_w = assign_targets(
+        locations, loc_strides, size_ranges,
+        jnp.asarray(wide["gt_corners"]), jnp.asarray(wide["gt_hbox"]),
+        jnp.asarray(wide["gt_classes"]), jnp.asarray(wide["gt_area"]),
+        jnp.asarray(wide["gt_valid"]), spec,
+    )
+    np.testing.assert_array_equal(
+        tgt_w["tgt_labels"], np.asarray(ref_w["labels"])
+    )
+    np.testing.assert_allclose(
+        tgt_w["tgt_reg_corners"], np.asarray(ref_w["reg_corners"]),
+        rtol=1e-4, atol=1e-5,
+    )
+    # the relocated instance is actually assigned somewhere (gap respected)
+    assert (tgt_w["tgt_labels"][0] != cfg.MODEL.DAFNE.NUM_CLASSES).any()
+
 
 def test_host_assign_full_loop(tmp_path):
     """do_train wiring: TPU.HOST_ASSIGN runs end-to-end (loader -> prefetch

@@ -100,13 +100,16 @@ def main():
             host_assign = make_host_assign_fn(cfg, pad_hw)
 
         def stage(b):
-            d = {k: jnp.asarray(b[k]) for k in (
-                "image", "gt_corners", "gt_hbox", "gt_classes", "gt_area",
-                "gt_valid")}
             if host_assign is not None:
+                # targets replace the gt_* arrays on device (the
+                # host-targets loss branch never reads them)
+                d = {"image": jnp.asarray(b["image"])}
                 d.update({k: jnp.asarray(v)
                           for k, v in host_assign(b).items()})
-            return d
+                return d
+            return {k: jnp.asarray(b[k]) for k in (
+                "image", "gt_corners", "gt_hbox", "gt_classes", "gt_area",
+                "gt_valid")}
 
         batches = [stage(b) for b in itertools.islice(it, 8)]
         # state donation chains the steps (each consumes the previous
