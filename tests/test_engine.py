@@ -352,3 +352,34 @@ def test_host_assign_full_loop(tmp_path):
     ]
     losses = [r["loss/total"] for r in rows if "loss/total" in r]
     assert losses and all(np.isfinite(l) for l in losses), rows
+
+
+def test_prefetch_producer_error_propagates(tmp_path, monkeypatch):
+    """A crash inside the prefetch producer thread (e.g. host assign or
+    device staging) must surface in the train loop as an exception, not
+    wedge it forever on q.get()."""
+    from dafne_tpu.data.registry import register_all_datasets
+    from dafne_tpu.engine import train_loop
+    from dafne_tpu.models import build_model
+
+    def boom(*a, **k):
+        raise RuntimeError("staged failure in producer")
+
+    # do_train imports shard_batch from dafne_tpu.parallel at call time
+    import dafne_tpu.parallel as parallel
+
+    monkeypatch.setattr(parallel, "shard_batch", boom)
+    cfg = tiny_cfg(
+        tmp_path,
+        **{
+            "SOLVER.IMS_PER_BATCH": 8,
+            "SOLVER.MAX_ITER": 2,
+            "SOLVER.CHECKPOINT_PERIOD": 0,
+            "TEST.EVAL_PERIOD": 0,
+            "DEBUG.OVERFIT_NUM_IMAGES": 2,
+        },
+    )
+    register_all_datasets(cfg)
+    model = build_model(cfg)
+    with pytest.raises(RuntimeError, match="staged failure"):
+        train_loop.do_train(cfg, model)
