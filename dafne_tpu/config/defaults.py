@@ -252,6 +252,23 @@ def build_defaults() -> CfgNode:
     # 45.5 vs 44.2 @batch 8) — under the <5% bar, so the reference-exact
     # candidate set wins the default (accuracy-first, like NMS_MAX_CANDIDATES).
     t.IMAGE_SIZE_DIVISIBILITY = 128  # pad H, W to multiples (P7 stride)
+    t.BUCKETED_TRAIN = True  # multi-scale train on a small static-canvas
+    # ladder: the shortest-edge scale is drawn once per BATCH (vs the
+    # reference's per-image draw — the analog of its ASPECT_RATIO_GROUPING
+    # batching) and the train step compiles once per distinct canvas, so a
+    # 450-scale batch of the 450-1200 ms recipes no longer pays worst-case
+    # 1280^2 conv FLOPs (~2x measured train throughput on the ms recipe).
+    # Only active for shortest-edge resize with >1 train scale; the grain
+    # backend falls back to the thread loader when on.
+    t.TRAIN_MAX_BUCKETS = 4  # max distinct train canvases (compile count
+    # bound: each bucket compiles its own train step, 1-5 min each on a
+    # cold remote-compile tunnel, seconds when cached)
+    t.TTA_DEVICE_AUG = True  # generate separable TTA copies (scales x
+    # flips/rot90) ON DEVICE from one shipped base image via one-hot
+    # sampling-matrix matmuls (ops/device_warp.py) — ~15x less host->device
+    # transfer than shipping every warped canvas; arbitrary-angle rotation
+    # augs fall back to the host cv2 path per copy. False = host cv2 warps
+    # for everything (bit-comparable to the pre-round-5 behavior).
     t.PREFETCH_DEPTH = 2  # host->device prefetch buffer
     t.DONATE_STATE = True  # donate train state buffers in the jitted step
     t.REMAT_BACKBONE = False  # jax.checkpoint over backbone stages
@@ -266,7 +283,10 @@ def build_defaults() -> CfgNode:
     # (tools/calibrate_int8.py): calibrated sites use STATIC scales — the
     # quantize fuses into the producer op, no runtime max-reduce; "" = fully
     # dynamic. Uncalibrated sites always fall back to dynamic.
-    t.HOST_ASSIGN = False  # compute target assignment (ops/targets.py) on the
+    t.HOST_ASSIGN = False  # False | True | "auto" (enable when >=2 usable
+    # host cores — engine/trainer.py::resolve_host_assign; the probe result
+    # and the first measured assign batch are logged).
+    # True: compute target assignment (ops/targets.py) on the
     # HOST CPU inside the data-prefetch thread instead of on-device in the
     # train step.  Targets depend only on the augmented GT (not on params), so
     # this is pipeline work the reference happens to do on the accelerator

@@ -161,7 +161,18 @@ def build_data_loader(cfg, records, batch_size, train, **kw):
         kw["process_index"] = jax.process_index()
         kw["process_count"] = jax.process_count()
     backend = cfg.DATALOADER.get("BACKEND", "threads")
+    if backend == "grain" and kw.get("buckets") is not None:
+        # bucketed ms train needs a per-BATCH scale draw; grain maps records
+        # independently, so the thread loader serves bucketed runs
+        import logging
+
+        logging.getLogger("dafne_tpu").warning(
+            "DATALOADER.BACKEND=grain does not support bucketed multi-scale "
+            "train (TPU.BUCKETED_TRAIN); using the thread loader"
+        )
+        backend = "threads"
     if backend == "grain" and not (not train and kw.get("process_count", 1) > 1):
+        kw.pop("buckets", None)  # always None here; not a grain kwarg
         return GrainDataLoader(cfg, records, batch_size, train, **kw)
     from dafne_tpu.data.loader import DataLoader
 

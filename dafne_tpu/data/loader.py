@@ -86,13 +86,20 @@ class DataLoader:
         num_workers: Optional[int] = None,
         process_index: int = 0,
         process_count: int = 1,
+        buckets=None,
     ):
         """batch_size is the GLOBAL batch; with process_count > 1 each
         process maps/yields only its contiguous row slice (same sampler
         stream on every process — identical seed — so the union of slices
         is exactly the single-process global batch).  Host-only metadata
         (image_id, batch_valid) stays GLOBAL so the rank-0 evaluator can
-        consume replicated decode outputs."""
+        consume replicated decode outputs.
+
+        ``buckets``: optional mapper.TrainScaleBuckets — bucketed multi-scale
+        training (TPU.BUCKETED_TRAIN).  One shortest-edge scale is drawn per
+        GLOBAL batch from a dedicated seed-derived stream (identical on every
+        process) and the batch renders onto that scale's ladder canvas, so
+        batch image shapes vary across steps but stay static per bucket."""
         self.records = records
         self.batch_size = batch_size
         assert batch_size % max(process_count, 1) == 0, (batch_size, process_count)
@@ -105,6 +112,7 @@ class DataLoader:
         )
         self.prefetch = max(1, cfg.TPU.PREFETCH_DEPTH)
         self.seed = seed
+        self.buckets = buckets if train else None
         # one long-lived pool: a fresh ThreadPoolExecutor per batch costs
         # thread spawn/join on the hot producer path every step
         self._executor = (
@@ -118,18 +126,21 @@ class DataLoader:
         else:
             self.sampler = None
 
-    def _make_batch(self, indices: List[int], seeds: List[int]) -> Dict[str, np.ndarray]:
+    def _make_batch(
+        self, indices: List[int], seeds: List[int],
+        min_size: Optional[int] = None, pad_hw=None,
+    ) -> Dict[str, np.ndarray]:
         # images render straight into the batch buffer: no per-example canvas
         # allocation and no np.stack copy (3 MB/img at 1024^2 — the host here
         # has ONE core, so every avoided memcpy is throughput)
-        imgs = np.zeros(
-            (len(indices), self.mapper.pad_h, self.mapper.pad_w, 3), np.uint8
-        )
+        pad_h, pad_w = pad_hw or (self.mapper.pad_h, self.mapper.pad_w)
+        imgs = np.zeros((len(indices), pad_h, pad_w, 3), np.uint8)
 
         def one(args):
             slot, i, s = args
             return self.mapper(
-                self.records[i], np.random.RandomState(s), image_out=imgs[slot]
+                self.records[i], np.random.RandomState(s), image_out=imgs[slot],
+                min_size=min_size, pad_hw=(pad_h, pad_w),
             )
 
         work = list(zip(range(len(indices)), indices, seeds))
@@ -154,6 +165,9 @@ class DataLoader:
 
     def _train_iter(self):
         seed_counter = itertools.count(self.seed * 1_000_003 + 1)
+        # per-batch scale draws (bucketed ms train): own stream, same seed on
+        # every process, so all processes agree on each batch's canvas
+        scale_rng = np.random.RandomState(self.seed * 7919 + 13)
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
@@ -163,10 +177,14 @@ class DataLoader:
                 # map only this process's slice
                 idx = [next(self.sampler) for _ in range(self.batch_size)]
                 seeds = [next(seed_counter) % (2 ** 31) for _ in idx]
+                min_size = pad_hw = None
+                if self.buckets is not None:
+                    min_size, pad_hw = self.buckets.draw(scale_rng)
                 q.put(
                     self._make_batch(
                         idx[self.proc_lo : self.proc_hi],
                         seeds[self.proc_lo : self.proc_hi],
+                        min_size=min_size, pad_hw=pad_hw,
                     )
                 )
 

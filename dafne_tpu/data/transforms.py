@@ -184,10 +184,19 @@ def shortest_edge_resize(
     return resize(w, h, new_w, new_h)
 
 
-def build_train_augmentations(cfg, w: int, h: int, rng: np.random.RandomState) -> AffineAug:
+def build_train_augmentations(
+    cfg, w: int, h: int, rng: np.random.RandomState,
+    min_size: Optional[int] = None,
+) -> AffineAug:
     """Random train-time pipeline (plain_train_net.py:219-277 semantics):
     hflip p=.5 (if INPUT.HFLIP_TRAIN), vflip p=.5, rotation from
-    INPUT.ROTATION_AUG_ANGLES ("choice" or "range"), then resize."""
+    INPUT.ROTATION_AUG_ANGLES ("choice" or "range"), then resize.
+
+    ``min_size``: forced shortest-edge target for this example, overriding
+    the per-image MIN_SIZE_TRAIN draw — the bucketed multi-scale train path
+    (TPU.BUCKETED_TRAIN) samples the scale once per BATCH so all images in
+    a batch share a static canvas; flips/rotation draws are unaffected
+    (they come from `rng` before the size draw)."""
     aug = identity(w, h)
     if cfg.INPUT.HFLIP_TRAIN and rng.rand() < 0.5:
         aug = aug.compose(hflip(aug.out_w, aug.out_h))
@@ -204,7 +213,9 @@ def build_train_augmentations(cfg, w: int, h: int, rng: np.random.RandomState) -
     if cfg.INPUT.RESIZE_TYPE == "shortest-edge":
         sizes = list(cfg.INPUT.MIN_SIZE_TRAIN)
         sampling = cfg.INPUT.get("MIN_SIZE_TRAIN_SAMPLING", "choice")
-        if not sizes:
+        if min_size is not None:
+            pass  # forced by the batch-bucketed loader
+        elif not sizes:
             min_size = min(w, h)
         elif sampling == "range":
             # Detectron2 ResizeShortestEdge "range": uniform int in

@@ -30,6 +30,7 @@ from dafne_tpu.engine.trainer import (
     make_eval_step,
     make_host_assign_fn,
     make_train_step,
+    resolve_host_assign,
 )
 from dafne_tpu.ops.postprocess import DecodeSpec
 from dafne_tpu.ops.targets import AssignmentSpec
@@ -271,9 +272,24 @@ def do_train(cfg, model, resume: bool = False):
     assert batch_size % n_dev == 0, (batch_size, n_dev)
 
     pad_hw = pad_target_hw(cfg, train=True)
+
+    # train data (records first: the bucketed ms-train ladder is computed
+    # from record dims, like eval_pad_hw)
+    from dafne_tpu.data.mapper import train_canvas_buckets
+
+    train_records = []
+    for name in cfg.DATASETS.TRAIN:
+        train_records += get_dataset(name, cfg)
+    buckets = train_canvas_buckets(cfg, train_records)
+    if buckets is not None:
+        logger.info(
+            f"bucketed ms train: canvases {buckets.canvases} "
+            f"(scales {buckets.sizes}, sampling {buckets.sampling})"
+        )
     logger.info(f"devices={n_dev} batch={batch_size} pad_hw={pad_hw}")
 
-    state, tx, schedule = build_state(cfg, model, pad_hw)
+    init_hw = buckets.canvases[0] if buckets is not None else pad_hw
+    state, tx, schedule = build_state(cfg, model, init_hw)
     checkpointer = Checkpointer(output_dir)
     state, start_iter = checkpointer.resume_or_load(state, cfg, resume)
 
@@ -284,24 +300,34 @@ def do_train(cfg, model, resume: bool = False):
     state = replicate_to_mesh(state, mesh)
     spatial = "spatial" if "spatial" in mesh.axis_names else None
 
-    step_fn = jax.jit(
-        make_train_step(model, cfg, pad_hw, tx, schedule),
-        donate_argnums=(0,) if cfg.TPU.DONATE_STATE else (),
-    )
+    # one compiled train step per distinct canvas (exactly one when
+    # bucketing is off); params/opt state are shape-independent, so the
+    # same donated state threads through whichever bucket's step runs
+    donate = (0,) if cfg.TPU.DONATE_STATE else ()
+    _step_fns: Dict = {}
+
+    def get_step(hw):
+        if hw not in _step_fns:
+            _step_fns[hw] = jax.jit(
+                make_train_step(model, cfg, hw, tx, schedule),
+                donate_argnums=donate,
+            )
+        return _step_fns[hw]
 
     # TPU.HOST_ASSIGN: target assignment moves into the prefetch thread
-    # (CPU backend), overlapping the running device step (engine/trainer.py)
-    host_assign = (
-        make_host_assign_fn(cfg, pad_hw)
-        if cfg.TPU.get("HOST_ASSIGN", False) else None
-    )
+    # (CPU backend), overlapping the running device step (engine/trainer.py);
+    # one assign fn per canvas (location tables are canvas-shaped)
+    use_host_assign = resolve_host_assign(cfg)
+    _assign_fns: Dict = {}
 
-    # train data
-    train_records = []
-    for name in cfg.DATASETS.TRAIN:
-        train_records += get_dataset(name, cfg)
+    def get_host_assign(hw):
+        if hw not in _assign_fns:
+            _assign_fns[hw] = make_host_assign_fn(cfg, hw)
+        return _assign_fns[hw]
+
     loader = build_data_loader(
-        cfg, train_records, batch_size, train=True, seed=max(cfg.SEED, 0)
+        cfg, train_records, batch_size, train=True, seed=max(cfg.SEED, 0),
+        buckets=buckets,
     )
     logger.info(f"train records: {len(train_records)}")
 
@@ -347,12 +373,13 @@ def do_train(cfg, model, resume: bool = False):
                 for batch in loader:
                     if stop.is_set():
                         return
-                    if host_assign is not None:
+                    if use_host_assign:
                         # targets replace the gt_* arrays on device: the
                         # host-targets loss branch never reads them, so
                         # shipping them would be pure dead transfer
+                        hw = tuple(batch["image"].shape[1:3])
                         db = {"image": batch["image"]}
-                        db.update(host_assign(batch))
+                        db.update(get_host_assign(hw)(batch))
                     else:
                         db = {k: batch[k] for k in _DEVICE_KEYS}
                     q.put(shard_batch(db, mesh, spatial_axis=spatial))
@@ -394,6 +421,7 @@ def do_train(cfg, model, resume: bool = False):
         t0 = time.perf_counter()
         device_batch = next(data_iter)
         t_data += time.perf_counter() - t0
+        step_fn = get_step(tuple(device_batch["image"].shape[1:3]))
         state, metrics = step_fn(state, device_batch)
 
         if (it + 1) % 20 == 0 or it == start_iter:
@@ -411,14 +439,16 @@ def do_train(cfg, model, resume: bool = False):
                 rtpt.step(iteration=it + 1)
 
         if ckpt_period and (it + 1) % ckpt_period == 0:
-            checkpointer.save(it + 1, jax.device_get(state))
+            # async: the loop only pays an on-device snapshot copy; the
+            # D2H fetch + orbax write run on the checkpointer's worker
+            checkpointer.save_async(it + 1, state)
         if eval_period and (it + 1) % eval_period == 0 and (it + 1) != max_iter:
             do_test(cfg, model, state.params, output_dir, step=it + 1,
                     batch_stats=state.batch_stats)
 
     if profiling_active:  # window extended past max_iter
         jax.profiler.stop_trace()
-    checkpointer.save(max_iter, jax.device_get(state))
+    checkpointer.save_async(max_iter, state)
     checkpointer.wait()
     for w in writers:
         w.close()

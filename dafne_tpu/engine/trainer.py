@@ -18,6 +18,7 @@ forcing extra device syncs.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -127,6 +128,38 @@ def compute_losses(model, params, batch, assign_spec, loss_spec,
     return (losses, new_stats), out
 
 
+def resolve_host_assign(cfg) -> bool:
+    """Resolve TPU.HOST_ASSIGN (False | True | "auto") to a decision.
+
+    "auto" enables host-side assignment when the host has spare cores to
+    overlap it with the running device step: the prefetch thread's CPU-jitted
+    assign costs ~100 ms/batch/core at 24 gt (PARITY.md "Host-side target
+    assignment"), so a 1-core host — like this build rig — would serialize
+    it behind the loader and LOSE the measured 4-5% (186.5 vs 197.0 ms @b16
+    on v5e with cores to spare).  Production multi-core hosts get the win
+    for free; the first real assign batch is timed and logged either way so
+    a misjudged auto shows up in the log.
+    """
+    v = cfg.TPU.get("HOST_ASSIGN", False)
+    if isinstance(v, str):
+        if v.lower() != "auto":
+            raise ValueError(f"TPU.HOST_ASSIGN must be bool or 'auto', got {v!r}")
+        try:
+            cores = len(os.sched_getaffinity(0))
+        except AttributeError:  # non-Linux
+            cores = os.cpu_count() or 1
+        enabled = cores >= 2
+        import logging
+
+        logging.getLogger("dafne_tpu").info(
+            f"TPU.HOST_ASSIGN=auto: {cores} usable host core(s) -> "
+            f"{'enabled' if enabled else 'disabled'} (needs >=2 to overlap "
+            f"the device step)"
+        )
+        return enabled
+    return bool(v)
+
+
 def make_host_assign_fn(cfg, image_hw: Tuple[int, int]):
     """Build the TPU.HOST_ASSIGN producer: host batch -> target arrays.
 
@@ -161,6 +194,8 @@ def make_host_assign_fn(cfg, image_hw: Tuple[int, int]):
                 "tgt_" + ctr_key: t[ctr_key],
             }
 
+    logged = []  # first-call wall time, for HOST_ASSIGN=auto observability
+
     def host_assign(batch):
         # The host is free to use data-dependent shapes (unlike the jitted
         # device step): slice the static MAX_INSTANCES gt padding down to
@@ -177,12 +212,26 @@ def make_host_assign_fn(cfg, image_hw: Tuple[int, int]):
                             * spec.gt_chunk))
         # committing the inputs to the CPU device pins the jit execution
         # there (the process default device is the TPU)
+        import time as _time
+
+        t0 = _time.perf_counter()
         out = _assign(*(
             jax.device_put(np.asarray(batch[k])[:, :bucket], cpu)
             for k in ("gt_corners", "gt_hbox", "gt_classes", "gt_area",
                       "gt_valid")
         ))
-        return {k: np.asarray(v) for k, v in out.items()}
+        out = {k: np.asarray(v) for k, v in out.items()}
+        if not logged:
+            logged.append(True)
+            import logging
+
+            logging.getLogger("dafne_tpu").info(
+                f"host assign: first batch (canvas {image_hw}, gt bucket "
+                f"{bucket}) took {(_time.perf_counter() - t0) * 1e3:.1f} ms "
+                f"incl. CPU-jit compile; steady-state is per-batch host work "
+                f"that must stay under the device step time"
+            )
+        return out
 
     return host_assign
 

@@ -368,3 +368,117 @@ def test_color_augmentations_match_detectron2_formulas():
         r.normal(scale=1.0, size=3)  # skip lighting draws
         factors.append(r.uniform(0.5, 1.5))
     assert min(factors) < 0.6 and max(factors) > 1.4
+
+
+# ------------------------------------------------- bucketed multi-scale train
+
+
+def test_train_scale_buckets_ladder():
+    """TrainScaleBuckets (TPU.BUCKETED_TRAIN): ladder bounded by
+    TRAIN_MAX_BUCKETS, every scale's resize fits its canvas, canvases never
+    exceed the worst-case static canvas, draws deterministic per rng seed
+    (the multi-process agreement contract)."""
+    from dafne_tpu.data.mapper import train_canvas_buckets
+
+    cfg = syn_cfg(**{
+        "INPUT.MIN_SIZE_TRAIN": "[64, 128, 192, 256]",
+        "INPUT.MAX_SIZE_TRAIN": 256,
+        "TPU.TRAIN_MAX_BUCKETS": 2,
+    })
+    records = load_synthetic("train", 8)
+    b = train_canvas_buckets(cfg, records)
+    assert b is not None
+    assert 2 >= len(b.canvases) >= 2  # 64..256 cannot share one 128-div canvas
+    areas = [h * w for h, w in b.canvases]
+    assert areas == sorted(areas)
+    worst = pad_target_hw(cfg, train=True)
+    for s in b.sizes:
+        ch, cw = b.canvas_for(s)
+        assert ch <= worst[0] and cw <= worst[1]
+        for r in records:
+            a = T.shortest_edge_resize(
+                r["width"], r["height"], s, cfg.INPUT.MAX_SIZE_TRAIN
+            )
+            assert a.out_h <= ch and a.out_w <= cw, (s, (ch, cw))
+    # same seed -> identical per-batch draw sequence on every process
+    seq_a = [b.draw(np.random.RandomState(7)) for _ in range(1)]
+    ra, rb = np.random.RandomState(7), np.random.RandomState(7)
+    assert [b.draw(ra) for _ in range(16)] == [b.draw(rb) for _ in range(16)]
+    # draws come from the configured scale set with their ladder canvas
+    rc = np.random.RandomState(3)
+    for _ in range(16):
+        s, hw = b.draw(rc)
+        assert s in b.sizes and hw == b.canvas_for(s)
+
+
+def test_train_canvas_buckets_gating():
+    """Bucketing only engages when it can help: off-flag, single scale, or a
+    one-canvas ladder all fall back to the static path (None)."""
+    from dafne_tpu.data.mapper import train_canvas_buckets
+
+    records = load_synthetic("train", 4)
+    assert train_canvas_buckets(syn_cfg(), records) is None  # single scale
+    cfg = syn_cfg(**{
+        "INPUT.MIN_SIZE_TRAIN": "[128, 256]", "TPU.BUCKETED_TRAIN": False,
+    })
+    assert train_canvas_buckets(cfg, records) is None  # flag off
+    # two scales that land on the SAME 128-divisible canvas: no ladder
+    cfg = syn_cfg(**{
+        "INPUT.MIN_SIZE_TRAIN": "[224, 256]", "INPUT.MAX_SIZE_TRAIN": 256,
+    })
+    assert train_canvas_buckets(cfg, records) is None
+    # "range" sampling builds a grid ladder
+    cfg = syn_cfg(**{
+        "INPUT.MIN_SIZE_TRAIN": "[64, 256]",
+        "INPUT.MIN_SIZE_TRAIN_SAMPLING": "range",
+        "INPUT.MAX_SIZE_TRAIN": 256,
+    })
+    b = train_canvas_buckets(cfg, records)
+    assert b is not None and len(b.canvases) >= 2
+    # range draws stay in [lo, hi] and get a canvas that fits them
+    rng = np.random.RandomState(0)
+    for _ in range(32):
+        s, (ch, cw) = b.draw(rng)
+        assert 64 <= s <= 256
+        for r in records:
+            a = T.shortest_edge_resize(r["width"], r["height"], s, 256)
+            assert a.out_h <= ch and a.out_w <= cw
+
+
+def test_bucketed_loader_batch_shapes_and_coords():
+    """The bucketed loader yields batches shaped by the per-batch draw, with
+    gt coordinates consistent with the drawn scale (corners inside the
+    resized extent), and two same-seed loaders agree batch-for-batch on the
+    canvas (process-agreement contract)."""
+    from dafne_tpu.data.mapper import train_canvas_buckets
+
+    cfg = syn_cfg(**{
+        "INPUT.MIN_SIZE_TRAIN": "[64, 128, 256]",
+        "INPUT.MAX_SIZE_TRAIN": 256,
+    })
+    records = load_synthetic("train", 8)
+    buckets = train_canvas_buckets(cfg, records)
+    assert buckets is not None
+
+    def shapes(n):
+        loader = DataLoader(
+            cfg, records, batch_size=4, train=True, num_workers=0,
+            seed=5, buckets=buckets,
+        )
+        out = []
+        it = iter(loader)
+        for _ in range(n):
+            b = next(it)
+            hw = b["image"].shape[1:3]
+            assert tuple(hw) in [tuple(c) for c in buckets.canvases]
+            # gt stays inside the canvas (coords follow the drawn scale)
+            v = b["gt_corners"][b["gt_valid"]]
+            if len(v):
+                assert v[:, 0::2].max() <= hw[1] + 1
+                assert v[:, 1::2].max() <= hw[0] + 1
+            out.append((tuple(hw), b["image"].sum()))
+        return out
+
+    a, b = shapes(6), shapes(6)
+    assert a == b  # same seed -> identical draws AND identical batches
+    assert len({hw for hw, _ in a}) >= 2  # ladder actually mixes canvases

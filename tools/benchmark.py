@@ -78,56 +78,90 @@ def main():
         from dafne_tpu.engine.optimizer import build_optimizer
         from dafne_tpu.engine.trainer import TrainState, make_train_step
         from dafne_tpu.engine.train_loop import build_state
+        from dafne_tpu.data.mapper import train_canvas_buckets
 
         model = build_model(cfg)
         pad_hw = pad_target_hw(cfg, train=True)
-        state, tx, schedule = build_state(cfg, model, pad_hw)
-        step = jax.jit(
-            make_train_step(model, cfg, pad_hw, tx, schedule), donate_argnums=(0,)
-        )
         records = list(
             itertools.chain(*(get_dataset(n, cfg) for n in cfg.DATASETS.TRAIN))
         )
-        loader = DataLoader(cfg, records, bs, train=True)
+        # bucketed multi-scale (TPU.BUCKETED_TRAIN): ms recipes draw one
+        # scale per batch and run on that scale's ladder canvas instead of
+        # the worst case — the benchmark mirrors the train loop's
+        # per-canvas compiled steps so it measures the real mixed regime
+        buckets = train_canvas_buckets(cfg, records)
+        init_hw = buckets.canvases[0] if buckets is not None else pad_hw
+        state, tx, schedule = build_state(cfg, model, init_hw)
+        _steps = {}
+
+        def get_step(hw):
+            if hw not in _steps:
+                _steps[hw] = jax.jit(
+                    make_train_step(model, cfg, hw, tx, schedule),
+                    donate_argnums=(0,),
+                )
+            return _steps[hw]
+
+        loader = DataLoader(cfg, records, bs, train=True, buckets=buckets)
         it = iter(loader)
         # cache a handful of batches on device (benchmark.py:91-110 style);
         # under TPU.HOST_ASSIGN stage precomputed targets with each batch,
         # mirroring the train loop's prefetch-thread producer
-        host_assign = None
-        if cfg.TPU.get("HOST_ASSIGN", False):
+        from dafne_tpu.engine.trainer import resolve_host_assign
+
+        _assigns = {}
+        if resolve_host_assign(cfg):
             from dafne_tpu.engine.trainer import make_host_assign_fn
 
-            host_assign = make_host_assign_fn(cfg, pad_hw)
+            def get_assign(hw):
+                if hw not in _assigns:
+                    _assigns[hw] = make_host_assign_fn(cfg, hw)
+                return _assigns[hw]
+        else:
+            get_assign = None
 
         def stage(b):
-            if host_assign is not None:
+            hw = tuple(b["image"].shape[1:3])
+            if get_assign is not None:
                 # targets replace the gt_* arrays on device (the
                 # host-targets loss branch never reads them)
                 d = {"image": jnp.asarray(b["image"])}
                 d.update({k: jnp.asarray(v)
-                          for k, v in host_assign(b).items()})
+                          for k, v in get_assign(hw)(b).items()})
                 return d
             return {k: jnp.asarray(b[k]) for k in (
                 "image", "gt_corners", "gt_hbox", "gt_classes", "gt_area",
                 "gt_valid")}
 
-        batches = [stage(b) for b in itertools.islice(it, 8)]
+        # stage enough batches to cover the canvas ladder when bucketed
+        n_stage = 8 if buckets is None else max(8, 3 * len(buckets.canvases))
+        batches = [stage(b) for b in itertools.islice(it, n_stage)]
+        canvases = sorted({tuple(b["image"].shape[1:3]) for b in batches})
         # state donation chains the steps (each consumes the previous
         # state); the final barrier must be a FETCH — on the axon relay
         # runtime block_until_ready can return before execution (see
         # bench.py measurement notes)
+        # compile every canvas first (one step on the first batch of each),
+        # then the regular warmup over the cycled schedule
+        first_of = {tuple(b["image"].shape[1:3]): b for b in reversed(batches)}
+        for hw, b in first_of.items():
+            state, m = get_step(hw)(state, b)
         for i in range(args.warmup):
-            state, m = step(state, batches[i % len(batches)])
+            b = batches[i % len(batches)]
+            state, m = get_step(tuple(b["image"].shape[1:3]))(state, b)
         float(jax.tree_util.tree_leaves(m)[0])
         t0 = time.perf_counter()
         for i in range(args.iters):
-            state, m = step(state, batches[i % len(batches)])
+            b = batches[i % len(batches)]
+            state, m = get_step(tuple(b["image"].shape[1:3]))(state, b)
         float(jax.tree_util.tree_leaves(m)[0])
         dt = time.perf_counter() - t0
         result = {
             "task": "train",
             "img_per_s": bs * args.iters / dt,
             "step_ms": dt / args.iters * 1000,
+            "bucketed": buckets is not None,
+            "canvases": [list(c) for c in canvases],
         }
 
     else:  # eval
