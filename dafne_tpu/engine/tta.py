@@ -33,6 +33,11 @@ from dafne_tpu.data import transforms as T
 from dafne_tpu.data.mapper import pad_target_hw, read_image
 from dafne_tpu.engine.trainer import make_eval_step
 from dafne_tpu.evaluation import build_evaluator
+from dafne_tpu.ops.device_warp import (
+    device_warp,
+    separable_warp_params,
+    stack_warps,
+)
 from dafne_tpu.utils.polyiou import poly_nms
 
 logger = logging.getLogger("dafne_tpu")
@@ -112,21 +117,103 @@ class BucketedEvalSteps:
         step, batch = self._steps[side]
         return (side, side), step, batch
 
+    def get_fused(self, base_hw, needed_hw, transpose: bool):
+        """On-device aug path (TPU.TTA_DEVICE_AUG): one jitted program per
+        (base canvas, bucket canvas, transpose) that generates the k warped
+        copies from the shipped base image (ops/device_warp.py one-hot
+        matmuls) and runs the eval step on them — the host ships ONE image
+        plus KB-sized sampling vectors instead of k full canvases."""
+        side = self._canvas_for(max(needed_hw))
+        key = (base_hw, side, transpose)
+        if key not in self._steps:
+            batch = int(min(self.max_batch, max(1, self.area_budget // (side * side))))
+            eval_core = make_eval_step(self.model, self.cfg, (side, side))
+
+            def fused(params, base_img, warps, batch_stats,
+                      _t=transpose, _core=eval_core):
+                return _core(params, device_warp(base_img, warps, _t),
+                             None, batch_stats)
+
+            self._steps[key] = (jax.jit(fused), batch)
+            logger.info(
+                f"TTA: compiled fused device-aug step base={base_hw} "
+                f"canvas={side} transpose={transpose} batch={batch}"
+            )
+        step, batch = self._steps[key]
+        return (side, side), step, batch
+
 
 def tta_inference_single(
     cfg, steps: "BucketedEvalSteps", params, img: np.ndarray, batch_stats=None
 ) -> Dict[str, np.ndarray]:
-    """All TTA copies of one image -> merged detections (original coords)."""
+    """All TTA copies of one image -> merged detections (original coords).
+
+    With TPU.TTA_DEVICE_AUG (default on), separable copies — the whole
+    DAFNe aug family: {scales} x {id, hflip, vflip, rot90-multiples} — are
+    generated ON DEVICE from one shipped base image (ops/device_warp.py),
+    cutting host->device bytes ~15x vs shipping every warped canvas; only
+    non-separable augs (arbitrary-angle rotations) fall back to the host
+    cv2 path.  Detections are identical up to the documented float-vs-cv2
+    fixed-point resample difference (<=1 intensity level; gated mAP-neutral
+    by tools/gen_canary.py)."""
     h, w = img.shape[:2]
     augs = build_tta_augs(cfg, w, h)
+    all_corners, all_scores, all_classes, all_ctr = [], [], [], []
 
-    # group copies by the smallest canvas bucket that fits them
+    def unpack(det, i, aug):
+        m = det["valid"][i]
+        corners = det["corners"][i][m].astype(np.float64)
+        all_corners.append(
+            aug.invert_coords(corners.reshape(-1, 4, 2)).reshape(-1, 8)
+        )
+        all_scores.append(det["scores"][i][m])
+        all_classes.append(det["classes"][i][m])
+        all_ctr.append(det["centerness"][i][m])
+
+    host_augs = list(augs)
+    if cfg.TPU.get("TTA_DEVICE_AUG", True):
+        # pad the base image to a divisibility-rounded canvas so a
+        # varied-size dataset hits a bounded set of (base_hw) programs
+        div = max(int(cfg.TPU.IMAGE_SIZE_DIVISIBILITY), 1)
+        rup = lambda v: int(-(-v // div) * div)
+        base_hw = (rup(h), rup(w))
+        groups: Dict[tuple, list] = {}
+        host_augs = []
+        for aug in augs:
+            side = steps._canvas_for(max(aug.out_h, aug.out_w))
+            p = separable_warp_params(aug, w, h, (side, side))
+            if p is None:
+                host_augs.append(aug)  # host cv2 fallback
+            else:
+                groups.setdefault((side, p.transpose), []).append((aug, p))
+        if groups:
+            base = np.zeros(
+                base_hw + (3,),
+                np.uint8 if img.dtype == np.uint8 else np.float32,
+            )
+            base[:h, :w] = img
+            base_dev = jax.device_put(base)
+            for (side, transpose), items in groups.items():
+                _, step, batch = steps.get_fused(
+                    base_hw, (side, side), transpose
+                )
+                for start in range(0, len(items), batch):
+                    chunk = items[start : start + batch]
+                    real = len(chunk)
+                    while len(chunk) < batch:
+                        chunk.append(chunk[-1])
+                    warps = stack_warps([p for _, p in chunk])
+                    det = step(params, base_dev, warps, batch_stats)
+                    det = {k: np.asarray(v) for k, v in det.items()}
+                    for i in range(real):
+                        unpack(det, i, chunk[i][0])
+
+    # group host-path copies by the smallest canvas bucket that fits them
     by_bucket: Dict[tuple, list] = {}
-    for aug in augs:
+    for aug in host_augs:
         canvas_hw, step, batch = steps.get((aug.out_h, aug.out_w))
         by_bucket.setdefault((canvas_hw, batch), []).append((aug, step))
 
-    all_corners, all_scores, all_classes, all_ctr = [], [], [], []
     for (canvas_hw, batch), items in by_bucket.items():
         pad_h, pad_w = canvas_hw
         step = items[0][1]
@@ -149,16 +236,7 @@ def tta_inference_single(
             det = step(params, jnp.asarray(np.stack(chunk)), None, batch_stats)
             det = {k: np.asarray(v) for k, v in det.items()}
             for i in range(real):
-                aug = metas[start + i]
-                m = det["valid"][i]
-                corners = det["corners"][i][m].astype(np.float64)
-                corners = aug.invert_coords(
-                    corners.reshape(-1, 4, 2)
-                ).reshape(-1, 8)
-                all_corners.append(corners)
-                all_scores.append(det["scores"][i][m])
-                all_classes.append(det["classes"][i][m])
-                all_ctr.append(det["centerness"][i][m])
+                unpack(det, i, metas[start + i])
 
     corners = np.concatenate(all_corners) if all_corners else np.zeros((0, 8))
     scores = np.concatenate(all_scores) if all_scores else np.zeros(0)
