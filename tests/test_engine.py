@@ -383,3 +383,226 @@ def test_prefetch_producer_error_propagates(tmp_path, monkeypatch):
     model = build_model(cfg)
     with pytest.raises(RuntimeError, match="staged failure"):
         train_loop.do_train(cfg, model)
+
+
+def test_bucketed_train_full_loop(tmp_path):
+    """TPU.BUCKETED_TRAIN end-to-end: do_train over a multi-scale recipe
+    compiles one step per ladder canvas, mixes canvases across steps, and
+    keeps losses finite (VERDICT r4 #1)."""
+    import json
+
+    from dafne_tpu.data.mapper import train_canvas_buckets
+    from dafne_tpu.data.registry import register_all_datasets
+    from dafne_tpu.data import get_dataset
+    from dafne_tpu.engine.train_loop import do_train
+    from dafne_tpu.models import build_model
+
+    cfg = tiny_cfg(
+        tmp_path,
+        **{
+            "INPUT.MIN_SIZE_TRAIN": "[64, 128, 256]",
+            "INPUT.MAX_SIZE_TRAIN": 256,
+            "SOLVER.IMS_PER_BATCH": 8,
+            "SOLVER.MAX_ITER": 6,
+            "SOLVER.CHECKPOINT_PERIOD": 0,
+            "TEST.EVAL_PERIOD": 0,
+            "DEBUG.OVERFIT_NUM_IMAGES": 4,
+        },
+    )
+    register_all_datasets(cfg)
+    records = []
+    for name in cfg.DATASETS.TRAIN:
+        records += get_dataset(name, cfg)
+    buckets = train_canvas_buckets(cfg, records)
+    assert buckets is not None and len(buckets.canvases) >= 2
+    model = build_model(cfg)
+    do_train(cfg, model)
+    rows = [
+        json.loads(l)
+        for l in open(os.path.join(str(tmp_path), "metrics.json"))
+    ]
+    losses = [r["loss/total"] for r in rows if "loss/total" in r]
+    assert losses and all(np.isfinite(l) for l in losses), rows
+
+
+def test_bucketed_host_assign_full_loop(tmp_path):
+    """Bucketed ms train x TPU.HOST_ASSIGN: the prefetch thread builds one
+    CPU assign fn per ladder canvas (location tables are canvas-shaped) and
+    the per-canvas device steps consume the precomputed targets."""
+    import json
+
+    from dafne_tpu.data.registry import register_all_datasets
+    from dafne_tpu.engine.train_loop import do_train
+    from dafne_tpu.models import build_model
+
+    cfg = tiny_cfg(
+        tmp_path,
+        **{
+            "TPU.HOST_ASSIGN": True,
+            "INPUT.MIN_SIZE_TRAIN": "[64, 256]",
+            "INPUT.MAX_SIZE_TRAIN": 256,
+            "SOLVER.IMS_PER_BATCH": 8,
+            "SOLVER.MAX_ITER": 4,
+            "SOLVER.CHECKPOINT_PERIOD": 0,
+            "TEST.EVAL_PERIOD": 0,
+            "DEBUG.OVERFIT_NUM_IMAGES": 4,
+        },
+    )
+    register_all_datasets(cfg)
+    model = build_model(cfg)
+    do_train(cfg, model)
+    rows = [
+        json.loads(l)
+        for l in open(os.path.join(str(tmp_path), "metrics.json"))
+    ]
+    losses = [r["loss/total"] for r in rows if "loss/total" in r]
+    assert losses and all(np.isfinite(l) for l in losses), rows
+
+
+def test_resolve_host_assign_auto(tmp_path, monkeypatch):
+    """TPU.HOST_ASSIGN=auto enables host-side assignment only when >=2
+    usable host cores exist (VERDICT r4 #7); bad strings are rejected."""
+    from dafne_tpu.engine.trainer import resolve_host_assign
+
+    cfg = tiny_cfg(tmp_path)
+    cfg.merge_from_list(["TPU.HOST_ASSIGN", "auto"])
+    monkeypatch.setattr(os, "sched_getaffinity", lambda _: {0}, raising=False)
+    assert resolve_host_assign(cfg) is False
+    monkeypatch.setattr(
+        os, "sched_getaffinity", lambda _: {0, 1, 2, 3}, raising=False
+    )
+    assert resolve_host_assign(cfg) is True
+    assert resolve_host_assign(tiny_cfg(tmp_path)) is False  # default off
+    cfg2 = tiny_cfg(tmp_path, **{"TPU.HOST_ASSIGN": True})
+    assert resolve_host_assign(cfg2) is True
+    cfg3 = tiny_cfg(tmp_path)
+    cfg3.TPU.HOST_ASSIGN = "always"
+    with pytest.raises(ValueError):
+        resolve_host_assign(cfg3)
+
+
+def test_tta_device_aug_matches_host_path(tmp_path):
+    """TPU.TTA_DEVICE_AUG A/B: on a constant image (bilinear-exact in both
+    cv2 fixed point and float32, so the model inputs agree bitwise up to
+    uint8 casting) the on-device aug path must reproduce the host cv2
+    path's detections; the steps cache must show fused device programs."""
+    from dafne_tpu.engine.tta import BucketedEvalSteps, tta_inference_single
+    from dafne_tpu.models import build_model
+
+    cfg = tiny_cfg(
+        tmp_path,
+        **{
+            "TEST.AUG.MIN_SIZES": "(128, 256)",
+            "TEST.AUG.MAX_SIZE": "256",
+            "TEST.AUG.HFLIP": "True",
+            "TEST.AUG.VFLIP": "True",
+        },
+    )
+    model = build_model(cfg)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 3))
+    )["params"]
+    img = np.full((256, 256, 3), 77, np.uint8)
+
+    steps_dev = BucketedEvalSteps(cfg, model)
+    det_dev = tta_inference_single(cfg, steps_dev, params, img)
+    assert any(isinstance(k, tuple) for k in steps_dev._steps), (
+        "device path never engaged"
+    )
+
+    cfg_host = tiny_cfg(
+        tmp_path,
+        **{
+            "TEST.AUG.MIN_SIZES": "(128, 256)",
+            "TEST.AUG.MAX_SIZE": "256",
+            "TEST.AUG.HFLIP": "True",
+            "TEST.AUG.VFLIP": "True",
+            "TPU.TTA_DEVICE_AUG": False,
+        },
+    )
+    det_host = tta_inference_single(
+        cfg_host, BucketedEvalSteps(cfg_host, model), params, img
+    )
+    assert len(det_dev["scores"]) == len(det_host["scores"])
+    if len(det_dev["scores"]):
+        # merge order may differ; sort both by (class, score)
+        def order(d):
+            k = np.lexsort((d["scores"], d["classes"]))
+            return {x: d[x][k] for x in ("corners", "scores", "classes")}
+
+        a, b = order(det_dev), order(det_host)
+        np.testing.assert_array_equal(a["classes"], b["classes"])
+        np.testing.assert_allclose(a["scores"], b["scores"], atol=1e-4)
+        np.testing.assert_allclose(a["corners"], b["corners"], atol=0.1)
+
+
+def test_tta_device_aug_rotation_fallback(tmp_path):
+    """Arbitrary-angle rotation TTA copies are non-separable: they must run
+    through the host cv2 fallback while the separable copies of the same
+    image still ride the device path — mixed, in one call."""
+    from dafne_tpu.data.datasets.synthetic import load_synthetic
+    from dafne_tpu.engine.tta import BucketedEvalSteps, tta_inference_single
+    from dafne_tpu.models import build_model
+
+    cfg = tiny_cfg(
+        tmp_path,
+        **{
+            "TEST.AUG.MIN_SIZES": "(128,)",
+            "TEST.AUG.MAX_SIZE": "128",
+            "TEST.AUG.ROTATION_ANGLES": "(45, 90)",
+            "TEST.AUG.HFLIP": "False",
+        },
+    )
+    model = build_model(cfg)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3))
+    )["params"]
+    steps = BucketedEvalSteps(cfg, model)
+    rec = load_synthetic("val", 1)[0]
+    det = tta_inference_single(cfg, steps, params, rec["image"])
+    assert det["corners"].shape[1] == 8
+    keys = list(steps._steps)
+    assert any(isinstance(k, tuple) for k in keys), keys  # fused programs
+    assert any(isinstance(k, int) for k in keys), keys  # host fallback step
+
+
+def test_async_checkpoint_snapshot_survives_donation(tmp_path):
+    """save_async must snapshot the device buffers BEFORE the train loop
+    donates them into the next step: after enqueuing a save, donate the
+    state into a jitted update that overwrites every buffer, then restore
+    — the checkpoint must hold the AT-SAVE values, not the updated (or
+    corrupted) ones.  Also covers worker-thread error surfacing."""
+    from dafne_tpu.engine.checkpoint import Checkpointer
+    from dafne_tpu.engine.train_loop import build_state
+    from dafne_tpu.models import build_model
+
+    cfg = tiny_cfg(tmp_path)
+    model = build_model(cfg)
+    state, _, _ = build_state(cfg, model, (128, 128))
+    state = state.replace(step=jnp.asarray(11, jnp.int32))
+    at_save = np.asarray(
+        state.params["head"]["cls_tower"]["conv0"]["kernel"]
+    ).copy()
+
+    ck = Checkpointer(str(tmp_path))
+    ck.save_async(11, state)
+
+    # immediately clobber the donated buffers, like the train loop does
+    @jax.jit
+    def clobber(s):
+        return s.replace(
+            params=jax.tree_util.tree_map(lambda x: x * 0 - 1.0, s.params)
+        )
+
+    clobber = jax.jit(clobber, donate_argnums=(0,))
+    state = clobber(state)
+    jax.block_until_ready(state.params)
+    ck.wait()
+
+    state2, _, _ = build_state(cfg, model, (128, 128), rng=jax.random.PRNGKey(1))
+    restored, step = ck.restore(state2)
+    assert step == 11
+    np.testing.assert_allclose(
+        np.asarray(restored.params["head"]["cls_tower"]["conv0"]["kernel"]),
+        at_save,
+    )

@@ -13,6 +13,7 @@ import os
 import sys
 
 import numpy as np
+import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -85,6 +86,7 @@ def test_local_batch_slice_contract():
     assert (lo, hi) == (0, 8)
 
 
+@pytest.mark.drills
 def test_multiprocess_cluster_end_to_end():
     """2-process CPU cluster through the real train CLI (slow, ~3-5 min)."""
     import __graft_entry__ as g
@@ -92,6 +94,7 @@ def test_multiprocess_cluster_end_to_end():
     g.dryrun_multiprocess(2, 2)
 
 
+@pytest.mark.drills
 def test_multiprocess_kill_resume():
     """Operational recovery drill (VERDICT r3 #5): SIGKILL a rank after the
     first cooperative Orbax checkpoint finalizes, restart with --resume,
@@ -102,6 +105,7 @@ def test_multiprocess_kill_resume():
     g.dryrun_multiprocess_kill_resume(2, 2)
 
 
+@pytest.mark.drills
 def test_multiprocess_elastic_resume():
     """Elastic world-size recovery: a 1-process x 4-device run's Orbax
     checkpoint resumes on a 2-process x 4-device gloo cluster (8-way data
