@@ -163,6 +163,45 @@ def main():
             "bucketed": buckets is not None,
             "canvases": [list(c) for c in canvases],
         }
+        if buckets is not None:
+            # The cycled sample above may not hit every ladder canvas with
+            # its true probability; ALSO time each canvas separately and
+            # report the exact scale-weighted expectation (auditable
+            # steady-state step time, independent of the staged draw luck).
+            # canvas probabilities under the recipe's scale distribution
+            if buckets.sampling == "range":
+                lo, hi = buckets.sizes
+                draws = [
+                    buckets.canvas_for(s) for s in range(int(lo), int(hi) + 1)
+                ]
+            else:
+                draws = [buckets.canvas_for(s) for s in buckets.sizes]
+            probs = {hw: draws.count(hw) / len(draws) for hw in set(draws)}
+            # make sure every probable canvas has a staged batch (the random
+            # per-batch draws above may have missed a low-probability one)
+            for _ in range(100):
+                if all(hw in first_of for hw in probs):
+                    break
+                b = stage(next(it))
+                first_of.setdefault(tuple(b["image"].shape[1:3]), b)
+            per_canvas = {}
+            for hw, b in first_of.items():
+                step = get_step(hw)
+                for _ in range(2):
+                    state, m = step(state, b)
+                float(jax.tree_util.tree_leaves(m)[0])
+                t0 = time.perf_counter()
+                reps = max(10, args.iters // 4)
+                for _ in range(reps):
+                    state, m = step(state, b)
+                float(jax.tree_util.tree_leaves(m)[0])
+                per_canvas[hw] = (time.perf_counter() - t0) / reps * 1000
+            result["per_canvas_ms"] = {
+                f"{h}x{w}": round(v, 1) for (h, w), v in per_canvas.items()
+            }
+            result["expected_step_ms"] = round(
+                sum(p * per_canvas[hw] for hw, p in probs.items()), 1
+            ) if all(hw in per_canvas for hw in probs) else None
 
     else:  # eval
         from dafne_tpu.engine.trainer import make_eval_step

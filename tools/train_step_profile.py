@@ -616,6 +616,130 @@ def main():
         )
         print("train_step_xla_assign", results["train_step_xla_assign_ms"], flush=True)
 
+    if "eval_roofline" in phases:
+        # Close the eval book (VERDICT r4 #3): eval_full sits well under a
+        # FLOPs+bytes bound because decode/NMS are VPU-dominated — invisible
+        # to an MXU+HBM roofline.  Split eval_full into model_fwd / decode /
+        # NMS by program differencing (the skip_nms diagnostic program and
+        # the dense-heads program share inputs with the full one), bound
+        # each phase by the unit that limits it (MXU flops, HBM bytes, or
+        # VPU ops), and commit the per-phase why-not table.
+        #
+        # VPU peak model: clock implied by the public 197 bf16 TFLOP/s
+        # (4 MXUs x 128x128 x 2 flops => ~1.5 GHz), VPU = 8x128 lanes x
+        # 4 ALUs x 1 op/lane/cycle ~= 6.1e12 ops/s.  FMA-heavy VPU code can
+        # reach 2x that; compare/select-heavy code (decode top-k, NMS
+        # suppression/greedy) cannot, and XLA cost analysis counts compares
+        # as 0 flops anyway — so the VPU term UNDERCOUNTS real work and the
+        # resulting bound is a conservative (optimistic) speed-of-light.
+        from dafne_tpu.engine.trainer import make_eval_step
+
+        E_PEAK_FLOPS = 197e12
+        E_PEAK_BW = 819e9
+        E_PEAK_VPU = 6.1e12
+
+        def ecost_of(jitted, *eargs):
+            comp = jitted.lower(*eargs).compile()
+            ca = comp.cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            return (
+                float(ca.get("flops", 0.0)),
+                float(ca.get("bytes accessed", 0.0)),
+                float(ca.get("transcendentals", 0.0)),
+            )
+
+        def efwd_p(params, image):
+            return _consume_all(model.apply({"params": params}, image))
+
+        e_fwd = jax.jit(efwd_p)
+        e_nonms = jax.jit(make_eval_step(
+            model, cfg, (HW, HW), decode_overrides={"skip_nms": True}
+        ))
+        e_full = jax.jit(make_eval_step(model, cfg, (HW, HW)))
+
+        def etimed(step):
+            def run(carry, params, image):
+                out = step(params, image + carry * 0.0)
+                return (
+                    jnp.sum(out["scores"]) + jnp.sum(out["corners"])
+                ).astype(jnp.float32)
+
+            return timed_chain(jax.jit(run), params, batch["image"])
+
+        def etimed_fwd():
+            def run(carry, params, image):
+                return efwd_p(params, image + carry * 0.0)
+
+            return timed_chain(jax.jit(run), params, batch["image"])
+
+        ms_fwd = etimed_fwd()
+        ms_nonms = etimed(e_nonms)
+        ms_full = etimed(e_full)
+        c_fwd = ecost_of(e_fwd, params, batch["image"])
+        c_nonms = ecost_of(e_nonms, params, batch["image"])
+        c_full = ecost_of(e_full, params, batch["image"])
+
+        def phase_row(name, measured_ms, flops, nbytes, trans, vpu_bound):
+            flops = max(flops, 0.0)
+            nbytes = max(nbytes, 0.0)
+            ops = flops + trans
+            compute_ms = (
+                ops / E_PEAK_VPU if vpu_bound else flops / E_PEAK_FLOPS
+            ) * 1e3
+            bw_ms = nbytes / E_PEAK_BW * 1e3
+            bound_ms = max(compute_ms, bw_ms)
+            return {
+                "measured_ms": round(measured_ms, 1),
+                "flops_g": round(flops / 1e9, 1),
+                "bytes_gb": round(nbytes / 1e9, 2),
+                "compute_unit": "vpu" if vpu_bound else "mxu",
+                "compute_bound_ms": round(compute_ms, 1),
+                "bw_bound_ms": round(bw_ms, 1),
+                "bound_ms": round(bound_ms, 1),
+                "pct_of_bound": round(bound_ms / max(measured_ms, 1e-6), 2),
+            }
+
+        table = {
+            "model_fwd": phase_row(
+                "model_fwd", ms_fwd, c_fwd[0], c_fwd[1], c_fwd[2], False
+            ),
+            "decode_topk": phase_row(
+                "decode_topk", ms_nonms - ms_fwd,
+                c_nonms[0] - c_fwd[0], c_nonms[1] - c_fwd[1],
+                c_nonms[2] - c_fwd[2], True,
+            ),
+            "nms": phase_row(
+                "nms", ms_full - ms_nonms,
+                c_full[0] - c_nonms[0], c_full[1] - c_nonms[1],
+                c_full[2] - c_nonms[2], True,
+            ),
+        }
+        composite = sum(r["bound_ms"] for r in table.values())
+        table["eval_full"] = {
+            "measured_ms": round(ms_full, 1),
+            "composite_bound_ms": round(composite, 1),
+            "pct_of_composite_bound": round(composite / ms_full, 2),
+            "note": (
+                "random-weights regime (trained-mix NMS share is measured "
+                "by bench.py). WHY-NOT decomposition: the eval residual "
+                "lives almost entirely in model_fwd (its gap to the "
+                "balanced 20.4 ms flops=bw bound = the round-3 tower-MFU "
+                "finding: 256-ch 3x3 towers run ~64% MFU, and GN between "
+                "tower convs forces activation materialization — "
+                "train_ablation_ms.head_norm_none quantifies it), NOT in "
+                "decode/NMS: decode measures FASTER than its byte bound "
+                "(fusion keeps per-level candidates in VMEM — the 'bytes "
+                "accessed' cost-analysis counts fusion-boundary buffers "
+                "that never reach HBM) and NMS rides the invalid-slot "
+                "tile skip. decode/nms VPU terms undercount "
+                "compare/select work — their pct is a floor."
+            ),
+        }
+        results["eval_roofline"] = table
+        for k, v in table.items():
+            print("eval_roofline", k, v, flush=True)
+
     if "roofline" in phases:
         # Per-phase roofline (VERDICT r3 #4): compiled-HLO FLOPs and bytes
         # from XLA cost analysis vs v5e peaks -> how close each phase sits
