@@ -606,3 +606,43 @@ def test_async_checkpoint_snapshot_survives_donation(tmp_path):
         np.asarray(restored.params["head"]["cls_tower"]["conv0"]["kernel"]),
         at_save,
     )
+
+
+def test_benchmark_train_bucketed_tool(tmp_path):
+    """tools/benchmark.py --task train on a bucketed ms recipe: reports
+    per-canvas ms and the exact scale-weighted expected step time (the
+    round-5 headline measurement path — guard it from rot)."""
+    import json
+    import subprocess
+    import sys
+
+    env = dict(os.environ, DAFNE_PLATFORM="cpu")
+    r = subprocess.run(
+        [sys.executable, "tools/benchmark.py",
+         "--config-file", "configs/synthetic/base.yaml",
+         "--task", "train", "--iters", "4", "--warmup", "1",
+         "--batch-size", "2",
+         "MODEL.RESNETS.DEPTH", "18",
+         "MODEL.RESNETS.RES2_OUT_CHANNELS", "16",
+         "MODEL.RESNETS.STEM_OUT_CHANNELS", "8",
+         "MODEL.FPN.OUT_CHANNELS", "16",
+         "MODEL.DAFNE.NUM_CLS_CONVS", "1",
+         "MODEL.DAFNE.NUM_BOX_CONVS", "1",
+         "TPU.COMPUTE_DTYPE", "float32",
+         "INPUT.MIN_SIZE_TRAIN", "[64, 256]",
+         "INPUT.MAX_SIZE_TRAIN", "256",
+         "DEBUG.OVERFIT_NUM_IMAGES", "4"],
+        capture_output=True, text=True, timeout=900,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env,
+    )
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
+    out = json.loads(
+        [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+    )
+    assert out["bucketed"] is True
+    assert len(out["per_canvas_ms"]) >= 2
+    assert out["expected_step_ms"] is not None
+    # expectation is a convex combination of the per-canvas times
+    vals = list(out["per_canvas_ms"].values())
+    assert min(vals) - 1e-6 <= out["expected_step_ms"] <= max(vals) + 1e-6
