@@ -408,3 +408,39 @@ class TestFullModel:
         assert any("cls_logits" in s for s in skips), skips
         for lv in out["logits"]:
             assert bool(jnp.all(jnp.isfinite(lv.astype(jnp.float32))))
+
+
+def test_int8_composes_with_device_tta(tmp_path):
+    """TPU.EVAL_INT8 inside the fused device-aug TTA program: the int8
+    eval step builds from cfg inside BucketedEvalSteps.get_fused, so the
+    two opt-ins must compose (serving config: int8 + TTA)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from dafne_tpu.config import get_cfg
+    from dafne_tpu.engine.tta import BucketedEvalSteps, tta_inference_single
+    from dafne_tpu.models import build_model
+
+    cfg = get_cfg()
+    cfg.merge_from_file("configs/synthetic/base.yaml")
+    cfg.MODEL.RESNETS.DEPTH = 18
+    cfg.MODEL.RESNETS.RES2_OUT_CHANNELS = 16
+    cfg.MODEL.RESNETS.STEM_OUT_CHANNELS = 8
+    cfg.MODEL.FPN.OUT_CHANNELS = 16
+    cfg.MODEL.DAFNE.NUM_CLS_CONVS = 1
+    cfg.MODEL.DAFNE.NUM_BOX_CONVS = 1
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.TEST.AUG.MIN_SIZES = [128]
+    cfg.TEST.AUG.MAX_SIZE = 128
+    cfg.TEST.AUG.HFLIP = True
+    cfg.TPU.EVAL_INT8 = True
+    model = build_model(cfg)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3))
+    )["params"]
+    img = (np.random.RandomState(1).rand(256, 256, 3) * 255).astype(np.uint8)
+    steps = BucketedEvalSteps(cfg, model)
+    det = tta_inference_single(cfg, steps, params, img)
+    assert det["corners"].shape[1] == 8
+    assert any(isinstance(k, tuple) for k in steps._steps)  # fused path ran
