@@ -21,15 +21,24 @@ aug-inverse/assignment/decode generalization jointly.  Asserts:
   4. train-slice mAP >= val mAP - 5 sanity (eval protocol itself is not
      broken on the train distribution).
 
-Writes GEN_CANARY.json (committed per-round artifact).
-Run:  python tools/gen_canary.py            (real chip, ~25-40 min)
-Env:  GEN_CANARY_ITERS (default 2500), DAFNE_PLATFORM=cpu for a slow smoke.
+`--scale 1024` (VERDICT r4 #4) runs the same gate at the DEPLOYMENT canvas:
+configs/synthetic/gen1024.yaml trains the flagship architecture at a fixed
+1024² on 512 dense scenes (<=96 objects — the bench.py held-out density) and
+evaluates 64 disjoint held-out 1024² scenes, so the gate exercises the P3
+candidate mix / ~0.5 NMS occupancy / level-assignment distribution of the
+headline regime, which the 224-320 gate never sees.
+
+Writes GEN_CANARY.json / GEN_CANARY_1024.json (committed per-round artifacts).
+Run:  python tools/gen_canary.py [--scale 1024]   (real chip, ~25-40 min)
+Env:  GEN_CANARY_ITERS (default 2500 / 1200), DAFNE_PLATFORM=cpu for a slow
+smoke.
 
 Reference anchor: the debug harness this generalizes
 (/root/reference/tools/run.py:312-320) and the eval protocol
 (/root/reference/dafne/evaluation/voc_eval.py:41-224).
 """
 
+import argparse
 import json
 import os
 import sys
@@ -43,8 +52,27 @@ from dafne_tpu.utils.platform import pin_platform_from_env, setup_compilation_ca
 pin_platform_from_env()
 setup_compilation_cache()
 
+#: per-scale gate parameters: (config, default iters, train-set size,
+#: train-slice dataset, TTA ladder, TTA max size, output artifact)
+_SCALES = {
+    256: dict(
+        cfg="gen.yaml", iters=2500, train_images=2048,
+        train_name="synthetic_gen_train", tta_sizes=[192, 256, 320],
+        tta_max=512, out="GEN_CANARY.json",
+    ),
+    1024: dict(
+        cfg="gen1024.yaml", iters=1200, train_images=512,
+        train_name="synthetic_gen1024_train", tta_sizes=[896, 1024, 1152],
+        tta_max=1280, out="GEN_CANARY_1024.json",
+    ),
+}
+
 
 def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--scale", type=int, choices=sorted(_SCALES), default=256)
+    scale = ap.parse_args().scale
+    P = _SCALES[scale]
     from dafne_tpu.config import load_config
     from dafne_tpu.data.registry import register_all_datasets
     from dafne_tpu.engine.train_loop import do_test, do_train, setup_logging
@@ -55,9 +83,9 @@ def main():
 
     def base_cfg():
         cfg = load_config(
-            os.path.join(repo, "configs", "synthetic", "gen.yaml"), freeze=False
+            os.path.join(repo, "configs", "synthetic", P["cfg"]), freeze=False
         )
-        cfg.SOLVER.MAX_ITER = int(os.environ.get("GEN_CANARY_ITERS", 2500))
+        cfg.SOLVER.MAX_ITER = int(os.environ.get("GEN_CANARY_ITERS", P["iters"]))
         cfg.SOLVER.STEPS = [int(0.8 * cfg.SOLVER.MAX_ITER)]
         cfg.SOLVER.CHECKPOINT_PERIOD = 10_000_000  # final save only
         cfg.OUTPUT_DIR = tempfile.mkdtemp(prefix="gen_canary_")
@@ -98,14 +126,14 @@ def main():
     val, val_s = run_eval()
     # 2. eval protocol sanity on a 64-scene train slice (seen in training)
     train_slice, _ = run_eval(**{
-        "DATASETS.TEST": ["synthetic_gen_train"],
+        "DATASETS.TEST": [P["train_name"]],
         "DEBUG.OVERFIT_NUM_IMAGES": 64,
     })
     # 3. TTA on the held-out set (ladder around the train scales + flips)
     tta, tta_s = run_eval(**{
         "TEST.AUG.ENABLED": True,
-        "TEST.AUG.MIN_SIZES": [192, 256, 320],
-        "TEST.AUG.MAX_SIZE": 512,
+        "TEST.AUG.MIN_SIZES": P["tta_sizes"],
+        "TEST.AUG.MAX_SIZE": P["tta_max"],
     })
     # 4. int8 dynamic on the held-out set
     int8_dyn, int8_s = run_eval(**{"TPU.EVAL_INT8": True})
@@ -119,7 +147,7 @@ def main():
     calib_cfg = base_cfg()
     calib_cfg.DEBUG.OVERFIT_NUM_IMAGES = 32
     calib_cfg.freeze()
-    records = get_dataset("synthetic_gen_train", calib_cfg)
+    records = get_dataset(P["train_name"], calib_cfg)
     pad_hw = eval_pad_hw(calib_cfg, records)
     loader = build_data_loader(
         calib_cfg, records, batch_size=max(1, int(calib_cfg.TPU.EVAL_BATCH)),
@@ -140,8 +168,9 @@ def main():
     })
 
     results = {
+        "scale": scale,
         "iters": cfg.SOLVER.MAX_ITER,
-        "train_images": 2048,
+        "train_images": P["train_images"],
         "val_images": 64,
         "train_s": train_s,
         "train_mAP": round(train_slice["mAP"], 2),
@@ -164,7 +193,7 @@ def main():
     }
     results["checks"] = {k: bool(v) for k, v in checks.items()}
     results["ok"] = bool(all(checks.values()))
-    out = os.path.join(repo, "GEN_CANARY.json")
+    out = os.path.join(repo, P["out"])
     with open(out, "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps(results))
