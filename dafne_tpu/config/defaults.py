@@ -269,6 +269,17 @@ def build_defaults() -> CfgNode:
     # transfer than shipping every warped canvas; arbitrary-angle rotation
     # augs fall back to the host cv2 path per copy. False = host cv2 warps
     # for everything (bit-comparable to the pre-round-5 behavior).
+    t.TRAIN_DEVICE_AUG = "auto"  # render the train-time augmentation
+    # (flips/rot90/multi-scale resize + color jitter) ON DEVICE inside the
+    # jitted train step from one shipped base image per example
+    # (ops/device_warp.py; engine/trainer.py::device_aug_image) — the
+    # train-time completion of the north-star on-device preprocessing
+    # stage.  Requires every geometric draw to be separable (rot90-only
+    # recipes; the 30-degree HRSC/UCAS ms recipes keep host cv2 warps).
+    # "auto": on when the host has <= 2 usable cores (a starved host can't
+    # keep cv2 warps ahead of the device step; a strong host should —
+    # the mirror of HOST_ASSIGN=auto).  True forces (error when not
+    # separable), False keeps the host path.
     t.PREFETCH_DEPTH = 2  # host->device prefetch buffer
     t.DONATE_STATE = True  # donate train state buffers in the jitted step
     t.REMAT_BACKBONE = False  # jax.checkpoint over backbone stages

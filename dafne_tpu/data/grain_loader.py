@@ -171,8 +171,19 @@ def build_data_loader(cfg, records, batch_size, train, **kw):
             "train (TPU.BUCKETED_TRAIN); using the thread loader"
         )
         backend = "threads"
+    if backend == "grain" and kw.get("device_aug"):
+        # device-aug batches carry a base-image buffer sized from the record
+        # list (loader.DataLoader feature); grain keeps host-side warps
+        import logging
+
+        logging.getLogger("dafne_tpu").warning(
+            "DATALOADER.BACKEND=grain does not support TPU.TRAIN_DEVICE_AUG; "
+            "using the thread loader"
+        )
+        backend = "threads"
     if backend == "grain" and not (not train and kw.get("process_count", 1) > 1):
         kw.pop("buckets", None)  # always None here; not a grain kwarg
+        kw.pop("device_aug", None)
         return GrainDataLoader(cfg, records, batch_size, train, **kw)
     from dafne_tpu.data.loader import DataLoader
 

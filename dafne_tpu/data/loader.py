@@ -87,6 +87,7 @@ class DataLoader:
         process_index: int = 0,
         process_count: int = 1,
         buckets=None,
+        device_aug: bool = False,
     ):
         """batch_size is the GLOBAL batch; with process_count > 1 each
         process maps/yields only its contiguous row slice (same sampler
@@ -125,6 +126,27 @@ class DataLoader:
             self.sampler = build_sampler(cfg, self.records, seed)
         else:
             self.sampler = None
+        # TPU.TRAIN_DEVICE_AUG: ship the raw base image + tiny warp/color
+        # vectors, the train step renders the augmented canvas on device
+        self.device_aug = bool(device_aug) and train
+        self.base_hw = None
+        if self.device_aug:
+            from dafne_tpu.data.mapper import device_aug_base_hw
+
+            self.base_hw = device_aug_base_hw(self.records)
+            if self.base_hw is None:
+                import logging
+
+                logging.getLogger("dafne_tpu").warning(
+                    "TPU.TRAIN_DEVICE_AUG: records lack width/height — "
+                    "falling back to host-side augmentation"
+                )
+                self.device_aug = False
+            else:
+                self.mapper = DatasetMapper(
+                    cfg, train, pad_hw or pad_target_hw(cfg, train),
+                    device_aug=True,
+                )
 
     def _make_batch(
         self, indices: List[int], seeds: List[int],
@@ -134,7 +156,12 @@ class DataLoader:
         # allocation and no np.stack copy (3 MB/img at 1024^2 — the host here
         # has ONE core, so every avoided memcpy is throughput)
         pad_h, pad_w = pad_hw or (self.mapper.pad_h, self.mapper.pad_w)
-        imgs = np.zeros((len(indices), pad_h, pad_w, 3), np.uint8)
+        if self.device_aug:  # the buffer holds BASE images; the device warps
+            img_key = "image_base"
+            imgs = np.zeros((len(indices), *self.base_hw, 3), np.uint8)
+        else:
+            img_key = "image"
+            imgs = np.zeros((len(indices), pad_h, pad_w, 3), np.uint8)
 
         def one(args):
             slot, i, s = args
@@ -148,9 +175,9 @@ class DataLoader:
             examples = list(self._executor.map(one, work))
         else:
             examples = [one(a) for a in work]
-        batch: Dict[str, np.ndarray] = {"image": imgs}
+        batch: Dict[str, np.ndarray] = {img_key: imgs}
         for k in examples[0]:
-            if k == "image":
+            if k == img_key:
                 continue
             if k == "image_id":
                 batch[k] = [e[k] for e in examples]

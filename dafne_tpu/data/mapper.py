@@ -85,9 +85,19 @@ def read_image(path: str, fmt: str = "BGR") -> np.ndarray:
 
 
 class DatasetMapper:
-    """Callable record -> example; `train` toggles augmentation."""
+    """Callable record -> example; `train` toggles augmentation.
 
-    def __init__(self, cfg, train: bool, pad_hw: Tuple[int, int]):
+    ``device_aug`` (TPU.TRAIN_DEVICE_AUG): emit the UNWARPED base image plus
+    tiny separable-warp + color-jitter parameter vectors instead of a
+    host-rendered canvas — the jitted train step generates the augmented
+    canvas on device (ops/device_warp.py), the train-time completion of the
+    north-star on-device preprocessing stage.  Corners still transform
+    exactly on host (a matrix multiply); only pixel resampling moves.
+    Requires every geometric draw to be separable
+    (transforms.train_geometric_augs_separable)."""
+
+    def __init__(self, cfg, train: bool, pad_hw: Tuple[int, int],
+                 device_aug: bool = False):
         self.cfg = cfg
         self.train = train
         self.pad_h, self.pad_w = pad_hw
@@ -95,6 +105,7 @@ class DatasetMapper:
         self.sort_corners = cfg.MODEL.DAFNE.SORT_CORNERS_DATALOADER
         self.fmt = cfg.INPUT.FORMAT
         self.color_aug = cfg.INPUT.USE_COLOR_AUGMENTATIONS and train
+        self.device_aug = device_aug and train
         # cache decoded uint8 images on the record dicts (small datasets /
         # benchmarking; DOTA-scale train sets should leave this off)
         self.cache_images = cfg.DATALOADER.get("CACHE_IMAGES", False)
@@ -110,6 +121,7 @@ class DatasetMapper:
         """`image_out`: optional pre-zeroed [pad_h, pad_w, 3] uint8 buffer to
         render into (the loader passes batch slices so no per-example canvas
         allocation + batch-stack copy happens — single-core host hot path).
+        In device-aug mode the buffer holds the BASE image instead.
 
         `min_size` / `pad_hw`: per-batch overrides from the bucketed
         multi-scale train path (TPU.BUCKETED_TRAIN) — the loader draws ONE
@@ -129,9 +141,13 @@ class DatasetMapper:
             aug = T.build_train_augmentations(self.cfg, w, h, rng, min_size)
         else:
             aug = T.build_test_augmentation(self.cfg, w, h)
-        img = aug.apply_image(img)
-        if self.color_aug:
-            img = T.apply_color_augmentations(img, rng)
+        aug_params = None
+        if self.device_aug:
+            aug_params = self._device_aug_params(aug, w, h, (pad_h, pad_w), rng)
+        else:
+            img = aug.apply_image(img)
+            if self.color_aug:
+                img = T.apply_color_augmentations(img, rng)
 
         annos = record.get("annotations", [])
         corners = np.asarray(
@@ -170,6 +186,39 @@ class DatasetMapper:
             gt_area[:n] = _shoelace(c)
             gt_valid[:n] = True
             gt_difficult[:n] = difficult[:n]
+
+        if self.device_aug:
+            # ship the base image (pre-transposed for anti-diagonal draws —
+            # a host memcpy, vs the full cv2 warp the host path pays) + the
+            # tiny warp/color vectors; the device renders the canvas
+            rh, rw = aug.out_h, aug.out_w
+            base = aug_params.pop("_base_image")(img)
+            bh, bw = base.shape[:2]
+            if image_out is not None:
+                bcanvas = image_out
+            else:
+                bcanvas = np.zeros((max(bh, 1), max(bw, 1), 3), np.uint8)
+            if bh > bcanvas.shape[0] or bw > bcanvas.shape[1]:
+                raise ValueError(
+                    f"base image ({bh}, {bw}) exceeds the device-aug base "
+                    f"canvas {bcanvas.shape[:2]} — records' width/height "
+                    "disagree with the files on disk"
+                )
+            bcanvas[:bh, :bw] = base
+            return {
+                "image_base": bcanvas,
+                **aug_params,
+                "gt_corners": gt_corners,
+                "gt_hbox": gt_hbox,
+                "gt_classes": gt_classes,
+                "gt_area": gt_area,
+                "gt_valid": gt_valid,
+                "gt_difficult": gt_difficult,
+                "image_id": record.get("image_id", ""),
+                "orig_hw": np.asarray([h, w], np.int32),
+                "resized_hw": np.asarray([rh, rw], np.int32),
+                "scale_xy": np.asarray([w / rw, h / rh], np.float32),
+            }
 
         rh, rw = img.shape[:2]
         # uint8 to the device: 4x less host copying and PCIe/ICI transfer
@@ -211,6 +260,62 @@ class DatasetMapper:
             # resized -> original scale, for rescaling predictions at eval
             "scale_xy": np.asarray([w / rw, h / rh], np.float32),
         }
+
+
+    def _device_aug_params(self, aug, w, h, pad_hw, rng):
+        """Factor this example's draw into the device-warp parameter vectors
+        (+ color-jitter scalars, drawn from `rng` at the same stream position
+        as the host path's apply_color_augmentations call)."""
+        from dafne_tpu.ops.device_warp import (
+            draw_color_params,
+            separable_warp_params,
+        )
+
+        warp = separable_warp_params(aug, w, h, pad_hw)
+        if warp is None:
+            raise RuntimeError(
+                "TPU.TRAIN_DEVICE_AUG drew a non-separable augmentation — "
+                "config eligibility (transforms.train_geometric_augs_"
+                "separable) should have prevented this"
+            )
+        out = {
+            "_base_image": (
+                (lambda im: _contiguous_transpose(im))
+                if warp.transpose else (lambda im: im)
+            ),
+            "aug_out_hw": np.asarray([warp.out_h, warp.out_w], np.int32),
+        }
+        for k in ("idx0_h", "idx1_h", "w0_h", "w1_h",
+                  "idx0_w", "idx1_w", "w0_w", "w1_w"):
+            out["aug_" + k] = getattr(warp, k)
+        if self.color_aug:
+            out.update(draw_color_params(rng))
+        return out
+
+
+def _contiguous_transpose(img: np.ndarray) -> np.ndarray:
+    """HWC transpose as a contiguous copy (cv2.transpose is SIMD; a numpy
+    view would make the downstream canvas write a slow strided copy)."""
+    import cv2
+
+    return cv2.transpose(np.ascontiguousarray(img))
+
+
+def device_aug_base_hw(records) -> Optional[Tuple[int, int]]:
+    """Static base canvas for TPU.TRAIN_DEVICE_AUG: the max source dimension
+    over the dataset, squared — square because anti-diagonal draws (odd
+    rot90 multiples) pre-transpose the base on host, swapping its extents.
+    None when any record lacks usable dims (caller falls back to host augs).
+    """
+    s = 0
+    for r in records:
+        w, h = r.get("width"), r.get("height")
+        if (not w or not h) and "image" in r:
+            h, w = r["image"].shape[:2]
+        if not w or not h:
+            return None
+        s = max(s, int(w), int(h))
+    return (s, s) if s else None
 
 
 def eval_preprocess_meta(cfg) -> dict:

@@ -245,6 +245,22 @@ def build_train_augmentations(
     return aug
 
 
+def train_geometric_augs_separable(cfg) -> bool:
+    """True iff EVERY possible train-time geometric draw of this config
+    factorizes into the separable transpose + per-axis-resample form of
+    ops/device_warp (signed (anti)diagonal linear part): flips and resizes
+    always do; rotations only when all angles are 90-degree multiples.
+    Gates TPU.TRAIN_DEVICE_AUG — arbitrary-angle recipes (e.g. the HRSC/UCAS
+    30-degree ms recipes) keep the host cv2 path."""
+    angles = [float(a) for a in cfg.INPUT.ROTATION_AUG_ANGLES]
+    if not angles:
+        return True
+    if cfg.INPUT.ROTATION_AUG_SAMPLE_STYLE == "range" and len(angles) == 2:
+        if angles[0] != angles[1]:  # continuous range: arbitrary angles
+            return False
+    return all(a % 90.0 == 0.0 for a in angles)
+
+
 def build_test_augmentation(cfg, w: int, h: int) -> AffineAug:
     if cfg.INPUT.RESIZE_TYPE == "shortest-edge":
         return shortest_edge_resize(

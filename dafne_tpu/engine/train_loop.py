@@ -26,11 +26,13 @@ from dafne_tpu.engine.checkpoint import Checkpointer
 from dafne_tpu.engine.events import build_writers
 from dafne_tpu.engine.optimizer import auto_scale_config, build_optimizer
 from dafne_tpu.engine.trainer import (
+    _AUG_KEYS,
     TrainState,
     make_eval_step,
     make_host_assign_fn,
     make_train_step,
     resolve_host_assign,
+    resolve_train_device_aug,
 )
 from dafne_tpu.ops.postprocess import DecodeSpec
 from dafne_tpu.ops.targets import AssignmentSpec
@@ -46,9 +48,17 @@ from dafne_tpu.parallel.mesh import mesh_from_config
 
 logger = logging.getLogger("dafne_tpu")
 
-_DEVICE_KEYS = (
-    "image", "gt_corners", "gt_hbox", "gt_classes", "gt_area", "gt_valid",
-)
+_GT_KEYS = ("gt_corners", "gt_hbox", "gt_classes", "gt_area", "gt_valid")
+_DEVICE_KEYS = ("image",) + _GT_KEYS
+
+
+def _batch_canvas_hw(batch) -> tuple:
+    """The train canvas a batch renders at: the image dims on the host-aug
+    path, the warp-vector canvas dims on the device-aug path (where the
+    canvas does not exist until the step renders it)."""
+    if "image" in batch:
+        return tuple(batch["image"].shape[1:3])
+    return (batch["aug_idx0_h"].shape[1], batch["aug_idx0_w"].shape[1])
 
 # jitted eval steps cached across do_test calls (keyed by model + canvas +
 # decode/assign specs, all hashable frozen dataclasses), so periodic
@@ -300,6 +310,15 @@ def do_train(cfg, model, resume: bool = False):
     state = replicate_to_mesh(state, mesh)
     spatial = "spatial" if "spatial" in mesh.axis_names else None
 
+    # TPU.TRAIN_DEVICE_AUG: the loader ships base images + warp vectors and
+    # the step renders the augmented canvas on device (trainer.py)
+    use_device_aug = resolve_train_device_aug(cfg)
+    aug_sharding = None
+    if use_device_aug and n_dev > 1:
+        from dafne_tpu.parallel.mesh import image_sharding
+
+        aug_sharding = image_sharding(mesh, "data", spatial)
+
     # one compiled train step per distinct canvas (exactly one when
     # bucketing is off); params/opt state are shape-independent, so the
     # same donated state threads through whichever bucket's step runs
@@ -309,7 +328,9 @@ def do_train(cfg, model, resume: bool = False):
     def get_step(hw):
         if hw not in _step_fns:
             _step_fns[hw] = jax.jit(
-                make_train_step(model, cfg, hw, tx, schedule),
+                make_train_step(model, cfg, hw, tx, schedule,
+                                device_aug=use_device_aug,
+                                aug_sharding=aug_sharding),
                 donate_argnums=donate,
             )
         return _step_fns[hw]
@@ -327,8 +348,12 @@ def do_train(cfg, model, resume: bool = False):
 
     loader = build_data_loader(
         cfg, train_records, batch_size, train=True, seed=max(cfg.SEED, 0),
-        buckets=buckets,
+        buckets=buckets, device_aug=use_device_aug,
     )
+    if use_device_aug and not getattr(loader, "device_aug", False):
+        use_device_aug = False  # loader fallback (grain / dimless records)
+        aug_sharding = None
+        _step_fns.clear()
     logger.info(f"train records: {len(train_records)}")
 
     # host side effects (metric writers, RTPT) are process-0 only; orbax
@@ -368,6 +393,13 @@ def do_train(cfg, model, resume: bool = False):
         q: "_queue.Queue" = _queue.Queue(maxsize=cfg.TPU.PREFETCH_DEPTH)
         stop = _threading.Event()
 
+        if use_device_aug:
+            img_keys = ["image_base", "aug_out_hw", *_AUG_KEYS]
+            if cfg.INPUT.USE_COLOR_AUGMENTATIONS:
+                img_keys += ["color_light", "color_w"]
+        else:
+            img_keys = ["image"]
+
         def producer():
             try:
                 for batch in loader:
@@ -377,11 +409,12 @@ def do_train(cfg, model, resume: bool = False):
                         # targets replace the gt_* arrays on device: the
                         # host-targets loss branch never reads them, so
                         # shipping them would be pure dead transfer
-                        hw = tuple(batch["image"].shape[1:3])
-                        db = {"image": batch["image"]}
-                        db.update(get_host_assign(hw)(batch))
+                        db = {k: batch[k] for k in img_keys}
+                        db.update(
+                            get_host_assign(_batch_canvas_hw(batch))(batch)
+                        )
                     else:
-                        db = {k: batch[k] for k in _DEVICE_KEYS}
+                        db = {k: batch[k] for k in img_keys + list(_GT_KEYS)}
                     q.put(shard_batch(db, mesh, spatial_axis=spatial))
             except BaseException as e:  # surface in the consumer, don't hang
                 q.put(e)
@@ -421,7 +454,7 @@ def do_train(cfg, model, resume: bool = False):
         t0 = time.perf_counter()
         device_batch = next(data_iter)
         t_data += time.perf_counter() - t0
-        step_fn = get_step(tuple(device_batch["image"].shape[1:3]))
+        step_fn = get_step(_batch_canvas_hw(device_batch))
         state, metrics = step_fn(state, device_batch)
 
         if (it + 1) % 20 == 0 or it == start_iter:

@@ -160,6 +160,84 @@ def resolve_host_assign(cfg) -> bool:
     return bool(v)
 
 
+def resolve_train_device_aug(cfg) -> bool:
+    """Resolve TPU.TRAIN_DEVICE_AUG (False | True | "auto") to a decision.
+
+    The device path ships the raw base image + tiny warp/color vectors and
+    renders the augmented canvas INSIDE the jitted train step
+    (ops/device_warp.py) — the train-time completion of the north-star
+    on-device preprocessing stage.  It requires every geometric draw to be
+    separable (transforms.train_geometric_augs_separable; True on a
+    non-separable recipe is an error, the flagship DOTA recipes qualify,
+    the 30-degree HRSC/UCAS ms recipes don't).  "auto" enables it when the
+    host is compute-starved (<= 2 usable cores): the warp costs the device
+    a few ms/step, so a host with cores to spare should keep cv2 warps
+    overlapped with the device step instead — the mirror image of
+    TPU.HOST_ASSIGN=auto, which moves work TO a strong host.
+    """
+    from dafne_tpu.data.transforms import train_geometric_augs_separable
+
+    v = cfg.TPU.get("TRAIN_DEVICE_AUG", False)
+    if v is False or v == "False":
+        return False
+    separable = train_geometric_augs_separable(cfg)
+    if v is True or v == "True":
+        if not separable:
+            raise ValueError(
+                "TPU.TRAIN_DEVICE_AUG=True but INPUT.ROTATION_AUG_ANGLES "
+                f"{list(cfg.INPUT.ROTATION_AUG_ANGLES)} contains "
+                "non-90-degree angles — those draws cannot be generated "
+                "on device; use 'auto' or False"
+            )
+        return True
+    if not (isinstance(v, str) and v.lower() == "auto"):
+        raise ValueError(
+            f"TPU.TRAIN_DEVICE_AUG must be bool or 'auto', got {v!r}"
+        )
+    if not separable:
+        return False
+    try:
+        cores = len(os.sched_getaffinity(0))
+    except AttributeError:  # non-Linux
+        cores = os.cpu_count() or 1
+    enabled = cores <= 2
+    import logging
+
+    logging.getLogger("dafne_tpu").info(
+        f"TPU.TRAIN_DEVICE_AUG=auto: {cores} usable host core(s) -> "
+        f"{'enabled' if enabled else 'disabled'} (augmentation moves "
+        f"on-device when the host cannot keep cv2 warps ahead of the step)"
+    )
+    return enabled
+
+
+_AUG_KEYS = (
+    "aug_idx0_h", "aug_idx1_h", "aug_w0_h", "aug_w1_h",
+    "aug_idx0_w", "aug_idx1_w", "aug_w0_w", "aug_w1_w",
+)
+
+
+def device_aug_image(batch: Dict[str, jnp.ndarray], color_aug: bool,
+                     aug_sharding=None) -> jnp.ndarray:
+    """Render the augmented train canvas on device from a device-aug batch
+    (TPU.TRAIN_DEVICE_AUG): separable warp + optional d2 color jitter."""
+    from dafne_tpu.ops.device_warp import device_color_aug, device_warp_batch
+
+    p = {k[len("aug_"):]: batch[k] for k in _AUG_KEYS}
+    img = device_warp_batch(batch["image_base"], p)
+    if color_aug:
+        img = device_color_aug(
+            img, batch["color_light"], batch["color_w"], batch["aug_out_hw"]
+        )
+    if aug_sharding is not None:
+        # re-establish the image sharding the host path's shard_batch gives
+        # model inputs (data x spatial) — the warp output would otherwise
+        # inherit only the data-axis sharding of its inputs, idling the
+        # mesh's spatial axis for the whole forward/backward
+        img = jax.lax.with_sharding_constraint(img, aug_sharding)
+    return img
+
+
 def make_host_assign_fn(cfg, image_hw: Tuple[int, int]):
     """Build the TPU.HOST_ASSIGN producer: host batch -> target arrays.
 
@@ -236,13 +314,26 @@ def make_host_assign_fn(cfg, image_hw: Tuple[int, int]):
     return host_assign
 
 
-def make_train_step(model, cfg, image_hw: Tuple[int, int], tx, schedule=None):
-    """Build the jittable train step for a static padded image size."""
+def make_train_step(model, cfg, image_hw: Tuple[int, int], tx, schedule=None,
+                    device_aug: bool = False, aug_sharding=None):
+    """Build the jittable train step for a static padded image size.
+
+    ``device_aug`` (TPU.TRAIN_DEVICE_AUG, resolve_train_device_aug): the
+    batch carries `image_base` + warp/color vectors instead of `image`; the
+    step renders the augmented canvas on device before the forward pass.
+    ``aug_sharding``: optional NamedSharding for the rendered canvas (keeps
+    spatial-axis meshes sharded through the aug stage)."""
     assign_spec = AssignmentSpec.from_config(cfg)
     loss_spec = LossSpec.from_config(cfg)
     tables = make_location_tables(image_hw, assign_spec)
+    color_aug = bool(cfg.INPUT.USE_COLOR_AUGMENTATIONS)
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        if device_aug:
+            # rendered once, outside the grad closure (no params involved)
+            batch = dict(batch)
+            batch["image"] = device_aug_image(batch, color_aug, aug_sharding)
+
         def loss_fn(params):
             (losses, new_stats), _ = compute_losses(
                 model, params, batch, assign_spec, loss_spec, tables,

@@ -150,6 +150,21 @@ def stack_warps(warps) -> dict:
     }
 
 
+def _onehot_rows(p: dict, axis: str, src_n: int):
+    """[?, canvas, src] sampling matrices from (idx, weight) vectors: two
+    adjacent taps per row, zero rows beyond the copy's real extent
+    (w0 = w1 = 0 there)."""
+    import jax.numpy as jnp
+
+    idx0, idx1 = p[f"idx0_{axis}"], p[f"idx1_{axis}"]
+    w0, w1 = p[f"w0_{axis}"], p[f"w1_{axis}"]
+    ar = jnp.arange(src_n, dtype=jnp.int32)
+    return (
+        (idx0[..., None] == ar) * w0[..., None]
+        + (idx1[..., None] == ar) * w1[..., None]
+    ).astype(jnp.float32)
+
+
 def device_warp(img, p: dict, transpose: bool):
     """All k copies of one base image, on device.
 
@@ -165,17 +180,8 @@ def device_warp(img, p: dict, transpose: bool):
         x = x.transpose(1, 0, 2)
     src0, src1 = x.shape[0], x.shape[1]
 
-    def onehot_rows(idx0, idx1, w0, w1, src_n):
-        # [k, canvas, src]: two adjacent taps per row, zero rows beyond the
-        # copy's real extent (w0 = w1 = 0 there)
-        ar = jnp.arange(src_n, dtype=jnp.int32)
-        return (
-            (idx0[..., None] == ar) * w0[..., None]
-            + (idx1[..., None] == ar) * w1[..., None]
-        ).astype(jnp.float32)
-
-    rh = onehot_rows(p["idx0_h"], p["idx1_h"], p["w0_h"], p["w1_h"], src0)
-    rw = onehot_rows(p["idx0_w"], p["idx1_w"], p["w0_w"], p["w1_w"], src1)
+    rh = _onehot_rows(p, "h", src0)
+    rw = _onehot_rows(p, "w", src1)
     # [k,Ch,S0] @ [S0,S1,3] -> [k,Ch,S1,3] -> with [k,Cw,S1] -> [k,Ch,Cw,3]
     # HIGHEST precision: the TPU default runs matmuls in bf16, whose 8-bit
     # mantissa costs ~2 intensity levels on 0-255 pixels — full f32 keeps
@@ -184,3 +190,92 @@ def device_warp(img, p: dict, transpose: bool):
     hi = jax.lax.Precision.HIGHEST
     y = jnp.einsum("kis,sjc->kijc", rh, x, precision=hi)
     return jnp.einsum("kijc,kwj->kiwc", y, rw, precision=hi)
+
+
+def device_warp_batch(imgs, p: dict):
+    """One warp per image over a BATCH, on device (the train-time analog of
+    `device_warp`'s per-image TTA copies — TPU.TRAIN_DEVICE_AUG).
+
+    imgs: [B, S0, S1, 3] uint8/float base images on a static canvas, HOST
+    pre-transposed when the draw's linear part is anti-diagonal (a transpose
+    is a memcpy on host; per-image dynamic transposes don't exist under
+    static shapes).  p: stacked [B, canvas_*] index/weight arrays from
+    `separable_warp_params` (whose vectors already describe the
+    post-transpose source).  Returns [B, canvas_h, canvas_w, 3] float32 with
+    exact zero padding beyond each image's real output extent.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.asarray(imgs).astype(jnp.float32)
+    rh = _onehot_rows(p, "h", x.shape[1])  # [B, Ch, S0]
+    rw = _onehot_rows(p, "w", x.shape[2])  # [B, Cw, S1]
+    hi = jax.lax.Precision.HIGHEST
+    y = jnp.einsum("bis,bsjc->bijc", rh, x, precision=hi)
+    return jnp.einsum("bijc,bwj->biwc", y, rw, precision=hi)
+
+
+def draw_color_params(rng) -> dict:
+    """Host-side draw of the d2 color-jitter parameters, consuming `rng` in
+    EXACTLY the order `transforms.apply_color_augmentations` does — so a
+    given example seed yields the same jitter on the host and device paths.
+    Returns small per-example arrays for `device_color_aug`."""
+    from dafne_tpu.data.transforms import (
+        _LIGHTING_EIGEN_VALS,
+        _LIGHTING_EIGEN_VECS,
+    )
+
+    weights = rng.normal(scale=1.0, size=3)
+    light = _LIGHTING_EIGEN_VECS.dot(weights * _LIGHTING_EIGEN_VALS)
+    return {
+        "color_light": light.astype(np.float32),  # additive RGB/BGR shift
+        "color_w": np.asarray(
+            [rng.uniform(0.5, 1.5) for _ in range(3)], np.float32
+        ),  # brightness, contrast, saturation blend weights (d2 order)
+    }
+
+
+def device_color_aug(img, light, w, out_hw):
+    """Batched on-device d2 color jitter (INPUT.USE_COLOR_AUGMENTATIONS).
+
+    Mirrors `transforms.apply_color_augmentations` — RandomLighting(1.0),
+    RandomBrightness, RandomContrast, RandomSaturation with uint8
+    clip+truncate BETWEEN stages — on the warped canvas.  The host applies
+    the jitter to the tight warped image before canvas placement; here the
+    canvas already exists, so every stage is masked back to the live
+    [out_h, out_w] region (contrast adds a constant and lighting an offset
+    that would otherwise bleed into the zero padding) and the contrast mean
+    normalizes by the live pixel count, not the canvas.  Deviation from the
+    host path: float32 arithmetic per stage instead of numpy float64
+    (<= 1 intensity level, same class of deviation as the warp itself).
+
+    img: [B, Ch, Cw, 3] float32 warped canvases; light: [B, 3]; w: [B, 3]
+    (brightness, contrast, saturation); out_hw: [B, 2] int32.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    b, ch, cw, _ = img.shape
+    oh = out_hw[:, 0][:, None, None, None]
+    ow = out_hw[:, 1][:, None, None, None]
+    ih = jax.lax.broadcasted_iota(jnp.int32, (1, ch, 1, 1), 1)
+    iw = jax.lax.broadcasted_iota(jnp.int32, (1, 1, cw, 1), 2)
+    mask = ((ih < oh) & (iw < ow)).astype(jnp.float32)
+    live = (oh * ow * 3).astype(jnp.float32)
+
+    def stage(y):  # d2 inter-stage uint8 round-trip: clip then truncate
+        return jnp.floor(jnp.clip(y, 0.0, 255.0)) * mask
+
+    x = stage(jnp.round(img))  # the host path's cv2 warp output is uint8
+    x = stage(x + light[:, None, None, :])
+    wb, wc, ws = w[:, 0], w[:, 1], w[:, 2]
+    x = stage(wb[:, None, None, None] * x)
+    mean = jnp.sum(x, axis=(1, 2, 3), keepdims=True) / live
+    x = stage((1.0 - wc)[:, None, None, None] * mean
+              + wc[:, None, None, None] * x)
+    gray = jnp.sum(
+        x * jnp.asarray([0.299, 0.587, 0.114], jnp.float32), axis=-1,
+        keepdims=True,
+    )
+    return stage((1.0 - ws)[:, None, None, None] * gray
+                 + ws[:, None, None, None] * x)
