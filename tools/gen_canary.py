@@ -61,7 +61,13 @@ _SCALES = {
         tta_max=512, out="GEN_CANARY.json",
     ),
     1024: dict(
-        cfg="gen1024.yaml", iters=1200, train_images=512,
+        # 3000 iters: the 1200-iter first cut left the classifier
+        # undiscriminated (localization + objectness converge first; every
+        # class scored ~0.4 at every object, train-slice mAP == val mAP ==
+        # 20) — deployment-scale dense scenes need ~2.5x the optimization
+        # budget of the 224-320 gate, made affordable on a 1-core host by
+        # TPU.TRAIN_DEVICE_AUG
+        cfg="gen1024.yaml", iters=3000, train_images=512,
         train_name="synthetic_gen1024_train", tta_sizes=[896, 1024, 1152],
         tta_max=1280, out="GEN_CANARY_1024.json",
     ),
