@@ -269,6 +269,22 @@ def save_test_results(output_dir, dataset_name, step, res):
             w.writerow([step, dataset_name, k, f"{v:.4f}"])
 
 
+def _host_rss_gb() -> float:
+    """Resident host memory of this process in GB (0.0 where /proc is
+    absent).  Written with the periodic train metrics so a host-side leak —
+    e.g. transfer-staging growth in an experimental backend client — shows
+    up as a slope in metrics.json/TensorBoard long before the kernel
+    OOM-killer ends the run without a traceback."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return round(int(line.split()[1]) / 1048576, 3)
+    except OSError:
+        pass
+    return 0.0
+
+
 def do_train(cfg, model, resume: bool = False):
     output_dir = cfg.OUTPUT_DIR
     os.makedirs(output_dir, exist_ok=True)
@@ -460,6 +476,7 @@ def do_train(cfg, model, resume: bool = False):
         if (it + 1) % 20 == 0 or it == start_iter:
             host = {k: float(v) for k, v in metrics.items()}
             host["data_time"] = t_data / max(1, it - last_write)
+            host["host_rss_gb"] = _host_rss_gb()
             last_write = it
             t_data = 0.0
             if cfg.DEBUG.NAN_CHECK and not host.get("loss_is_finite", 1.0):

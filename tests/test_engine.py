@@ -352,6 +352,10 @@ def test_host_assign_full_loop(tmp_path):
     ]
     losses = [r["loss/total"] for r in rows if "loss/total" in r]
     assert losses and all(np.isfinite(l) for l in losses), rows
+    # host memory watchdog: the periodic metric rows record process RSS so
+    # a host-side staging leak shows as a slope instead of a silent OOM kill
+    rss = [r["host_rss_gb"] for r in rows if "host_rss_gb" in r]
+    assert rss and all(v > 0 for v in rss), rows
 
 
 def test_prefetch_producer_error_propagates(tmp_path, monkeypatch):
