@@ -53,12 +53,17 @@ pin_platform_from_env()
 setup_compilation_cache()
 
 #: per-scale gate parameters: (config, default iters, train-set size,
-#: train-slice dataset, TTA ladder, TTA max size, output artifact)
+#: train-slice dataset, TTA ladder, TTA max size, int8 calibration batches,
+#: output artifact).  The TTA ladder must sit inside the recipe's
+#: MIN_SIZE_TRAIN distribution: a scratch-trained canary model is
+#: scale-brittle, so an out-of-distribution TTA copy measures model
+#: robustness, not the aug-inverse consistency this gate asserts (the
+#: fixed-1024 first cut failed exactly that way: TTA 87.6 vs plain 89.9).
 _SCALES = {
     256: dict(
         cfg="gen.yaml", iters=2500, train_images=2048,
         train_name="synthetic_gen_train", tta_sizes=[192, 256, 320],
-        tta_max=512, out="GEN_CANARY.json",
+        tta_max=512, calib_batches=2, out="GEN_CANARY.json",
     ),
     1024: dict(
         # 3000 iters: the 1200-iter first cut left the classifier
@@ -66,10 +71,13 @@ _SCALES = {
         # class scored ~0.4 at every object, train-slice mAP == val mAP ==
         # 20) — deployment-scale dense scenes need ~2.5x the optimization
         # budget of the 224-320 gate, made affordable on a 1-core host by
-        # TPU.TRAIN_DEVICE_AUG
+        # TPU.TRAIN_DEVICE_AUG.  8 calibration batches: at 1024² the static
+        # int8 activation-scale estimate off 2 batches left the gate 0.18
+        # short (88.73 vs the 88.91 floor) — P3's 128x128 activation maps
+        # have far heavier per-site tails than the 256 gate's.
         cfg="gen1024.yaml", iters=3000, train_images=512,
         train_name="synthetic_gen1024_train", tta_sizes=[896, 1024, 1152],
-        tta_max=1280, out="GEN_CANARY_1024.json",
+        tta_max=1280, calib_batches=8, out="GEN_CANARY_1024.json",
     ),
 }
 
@@ -77,7 +85,14 @@ _SCALES = {
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--scale", type=int, choices=sorted(_SCALES), default=256)
-    scale = ap.parse_args().scale
+    ap.add_argument(
+        "--resume-dir",
+        help="existing OUTPUT_DIR with a finished checkpoint: skip (or "
+        "finish) training via the train loop's resume path and go straight "
+        "to the eval gates — salvages a run whose eval phase died",
+    )
+    args = ap.parse_args()
+    scale = args.scale
     P = _SCALES[scale]
     from dafne_tpu.config import load_config
     from dafne_tpu.data.registry import register_all_datasets
@@ -98,13 +113,15 @@ def main():
         return cfg
 
     cfg = base_cfg()
+    if args.resume_dir:
+        cfg.OUTPUT_DIR = args.resume_dir
     cfg.freeze()
     setup_logging(cfg.OUTPUT_DIR)
     register_all_datasets(cfg)
     model = build_model(cfg)
 
     t0 = time.perf_counter()
-    state = do_train(cfg, model)
+    state = do_train(cfg, model, resume=bool(args.resume_dir))
     train_s = round(time.perf_counter() - t0, 1)
 
     def run_eval(**overrides):
@@ -151,7 +168,9 @@ def main():
     import jax.numpy as jnp
 
     calib_cfg = base_cfg()
-    calib_cfg.DEBUG.OVERFIT_NUM_IMAGES = 32
+    calib_cfg.DEBUG.OVERFIT_NUM_IMAGES = P["calib_batches"] * int(
+        calib_cfg.TPU.EVAL_BATCH
+    )
     calib_cfg.freeze()
     records = get_dataset(P["train_name"], calib_cfg)
     pad_hw = eval_pad_hw(calib_cfg, records)
@@ -164,7 +183,7 @@ def main():
         variables["batch_stats"] = state.batch_stats
     scales = calibrate_act_scales(
         model, variables,
-        (jnp.asarray(b["image"]) for _, b in zip(range(2), loader)),
+        (jnp.asarray(b["image"]) for _, b in zip(range(P["calib_batches"]), loader)),
         min_channels=64,
     )
     scales_path = os.path.join(cfg.OUTPUT_DIR, "int8_scales.json")
