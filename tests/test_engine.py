@@ -635,7 +635,8 @@ def test_benchmark_train_bucketed_tool(tmp_path):
          "TPU.COMPUTE_DTYPE", "float32",
          "INPUT.MIN_SIZE_TRAIN", "[64, 256]",
          "INPUT.MAX_SIZE_TRAIN", "256",
-         "DEBUG.OVERFIT_NUM_IMAGES", "4"],
+         "DEBUG.OVERFIT_NUM_IMAGES", "4",
+         "TPU.TRAIN_DEVICE_AUG", "False"],
         capture_output=True, text=True, timeout=900,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         env=env,
@@ -650,3 +651,44 @@ def test_benchmark_train_bucketed_tool(tmp_path):
     # expectation is a convex combination of the per-canvas times
     vals = list(out["per_canvas_ms"].values())
     assert min(vals) - 1e-6 <= out["expected_step_ms"] <= max(vals) + 1e-6
+    assert out["device_aug"] is False
+
+
+def test_benchmark_train_device_aug_tool(tmp_path):
+    """tools/benchmark.py --task train with TPU.TRAIN_DEVICE_AUG: the staged
+    batches ship base images + warp vectors and the measured step renders
+    the augmented canvas on device — the benchmark must measure the step
+    the recipe actually runs, not silently fall back to the host-aug
+    program (the round-5 A/B measurement path)."""
+    import json
+    import subprocess
+    import sys
+
+    env = dict(os.environ, DAFNE_PLATFORM="cpu")
+    r = subprocess.run(
+        [sys.executable, "tools/benchmark.py",
+         "--config-file", "configs/synthetic/base.yaml",
+         "--task", "train", "--iters", "4", "--warmup", "1",
+         "--batch-size", "2",
+         "MODEL.RESNETS.DEPTH", "18",
+         "MODEL.RESNETS.RES2_OUT_CHANNELS", "16",
+         "MODEL.RESNETS.STEM_OUT_CHANNELS", "8",
+         "MODEL.FPN.OUT_CHANNELS", "16",
+         "MODEL.DAFNE.NUM_CLS_CONVS", "1",
+         "MODEL.DAFNE.NUM_BOX_CONVS", "1",
+         "TPU.COMPUTE_DTYPE", "float32",
+         "INPUT.MIN_SIZE_TRAIN", "[64, 256]",
+         "INPUT.MAX_SIZE_TRAIN", "256",
+         "DEBUG.OVERFIT_NUM_IMAGES", "4",
+         "TPU.TRAIN_DEVICE_AUG", "True"],
+        capture_output=True, text=True, timeout=900,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env,
+    )
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
+    out = json.loads(
+        [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+    )
+    assert out["device_aug"] is True
+    assert out["bucketed"] is True
+    assert len(out["per_canvas_ms"]) >= 2

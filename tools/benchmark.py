@@ -92,17 +92,40 @@ def main():
         buckets = train_canvas_buckets(cfg, records)
         init_hw = buckets.canvases[0] if buckets is not None else pad_hw
         state, tx, schedule = build_state(cfg, model, init_hw)
+
+        # TPU.TRAIN_DEVICE_AUG: mirror the train loop — the loader ships
+        # base images + warp/color vectors and the step renders the
+        # augmented canvas on device (engine/trainer.py::device_aug_image),
+        # so the benchmark measures the step the recipe actually runs
+        from dafne_tpu.engine.train_loop import _batch_canvas_hw
+        from dafne_tpu.engine.trainer import (
+            _AUG_KEYS,
+            resolve_train_device_aug,
+        )
+
+        use_device_aug = resolve_train_device_aug(cfg)
+        loader = DataLoader(
+            cfg, records, bs, train=True, buckets=buckets,
+            device_aug=use_device_aug,
+        )
+        use_device_aug = bool(getattr(loader, "device_aug", False))
+        if use_device_aug:
+            img_keys = ["image_base", "aug_out_hw", *_AUG_KEYS]
+            if cfg.INPUT.USE_COLOR_AUGMENTATIONS:
+                img_keys += ["color_light", "color_w"]
+        else:
+            img_keys = ["image"]
         _steps = {}
 
         def get_step(hw):
             if hw not in _steps:
                 _steps[hw] = jax.jit(
-                    make_train_step(model, cfg, hw, tx, schedule),
+                    make_train_step(model, cfg, hw, tx, schedule,
+                                    device_aug=use_device_aug),
                     donate_argnums=(0,),
                 )
             return _steps[hw]
 
-        loader = DataLoader(cfg, records, bs, train=True, buckets=buckets)
         it = iter(loader)
         # cache a handful of batches on device (benchmark.py:91-110 style);
         # under TPU.HOST_ASSIGN stage precomputed targets with each batch,
@@ -121,39 +144,39 @@ def main():
             get_assign = None
 
         def stage(b):
-            hw = tuple(b["image"].shape[1:3])
+            hw = _batch_canvas_hw(b)
             if get_assign is not None:
                 # targets replace the gt_* arrays on device (the
                 # host-targets loss branch never reads them)
-                d = {"image": jnp.asarray(b["image"])}
+                d = {k: jnp.asarray(b[k]) for k in img_keys}
                 d.update({k: jnp.asarray(v)
                           for k, v in get_assign(hw)(b).items()})
                 return d
-            return {k: jnp.asarray(b[k]) for k in (
-                "image", "gt_corners", "gt_hbox", "gt_classes", "gt_area",
-                "gt_valid")}
+            return {k: jnp.asarray(b[k]) for k in img_keys + [
+                "gt_corners", "gt_hbox", "gt_classes", "gt_area",
+                "gt_valid"]}
 
         # stage enough batches to cover the canvas ladder when bucketed
         n_stage = 8 if buckets is None else max(8, 3 * len(buckets.canvases))
         batches = [stage(b) for b in itertools.islice(it, n_stage)]
-        canvases = sorted({tuple(b["image"].shape[1:3]) for b in batches})
+        canvases = sorted({_batch_canvas_hw(b) for b in batches})
         # state donation chains the steps (each consumes the previous
         # state); the final barrier must be a FETCH — on the axon relay
         # runtime block_until_ready can return before execution (see
         # bench.py measurement notes)
         # compile every canvas first (one step on the first batch of each),
         # then the regular warmup over the cycled schedule
-        first_of = {tuple(b["image"].shape[1:3]): b for b in reversed(batches)}
+        first_of = {_batch_canvas_hw(b): b for b in reversed(batches)}
         for hw, b in first_of.items():
             state, m = get_step(hw)(state, b)
         for i in range(args.warmup):
             b = batches[i % len(batches)]
-            state, m = get_step(tuple(b["image"].shape[1:3]))(state, b)
+            state, m = get_step(_batch_canvas_hw(b))(state, b)
         float(jax.tree_util.tree_leaves(m)[0])
         t0 = time.perf_counter()
         for i in range(args.iters):
             b = batches[i % len(batches)]
-            state, m = get_step(tuple(b["image"].shape[1:3]))(state, b)
+            state, m = get_step(_batch_canvas_hw(b))(state, b)
         float(jax.tree_util.tree_leaves(m)[0])
         dt = time.perf_counter() - t0
         result = {
@@ -161,6 +184,7 @@ def main():
             "img_per_s": bs * args.iters / dt,
             "step_ms": dt / args.iters * 1000,
             "bucketed": buckets is not None,
+            "device_aug": use_device_aug,
             "canvases": [list(c) for c in canvases],
         }
         if buckets is not None:
@@ -183,7 +207,7 @@ def main():
                 if all(hw in first_of for hw in probs):
                     break
                 b = stage(next(it))
-                first_of.setdefault(tuple(b["image"].shape[1:3]), b)
+                first_of.setdefault(_batch_canvas_hw(b), b)
             per_canvas = {}
             for hw, b in first_of.items():
                 step = get_step(hw)
