@@ -61,10 +61,21 @@ def main():
     bs = cfg.SOLVER.IMS_PER_BATCH
 
     if args.task == "data":
+        from dafne_tpu.data.mapper import train_canvas_buckets
+        from dafne_tpu.engine.trainer import resolve_train_device_aug
+
         records = list(
             itertools.chain(*(get_dataset(n, cfg) for n in cfg.DATASETS.TRAIN))
         )
-        loader = DataLoader(cfg, records, bs, train=True)
+        # honor the recipe's bucketing + device-aug so the host cost
+        # measured is the one the train loop actually pays (under
+        # TPU.TRAIN_DEVICE_AUG the host skips the cv2 canvas render and
+        # ships the raw base image + KB-scale warp/color vectors)
+        loader = DataLoader(
+            cfg, records, bs, train=True,
+            buckets=train_canvas_buckets(cfg, records),
+            device_aug=resolve_train_device_aug(cfg),
+        )
         it = iter(loader)
         for _ in range(args.warmup):
             next(it)
@@ -72,7 +83,11 @@ def main():
         for _ in range(args.iters):
             next(it)
         dt = time.perf_counter() - t0
-        result = {"task": "data", "img_per_s": bs * args.iters / dt}
+        result = {
+            "task": "data",
+            "img_per_s": bs * args.iters / dt,
+            "device_aug": bool(getattr(loader, "device_aug", False)),
+        }
 
     elif args.task == "train":
         from dafne_tpu.engine.optimizer import build_optimizer
